@@ -1,0 +1,70 @@
+"""bikg_graph_explainability_public_tpu — TPU-native community-aware GNN explainability.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the reference
+``pathway_explanations`` library (AstraZeneca BIKG, mounted read-only at
+``/root/reference``): given a trained GNN, a (possibly heterogeneous) graph
+and optional node/edge communities, it explains a query node / edge / graph
+prediction via perturbation sampling + a weighted-linear-regression surrogate
+(Configuration Values / KernelSHAP).
+
+Public surface mirrors the reference's ``__init__.py`` exports
+(Data→Graph utilities, Explainer, Kernel, Mask, Model, Pathways,
+LinearRegression→surrogate) re-designed TPU-first.
+"""
+
+from .graph import (
+    Graph,
+    HeteroInfo,
+    from_arrays,
+    hetero_to_homo,
+    hetero_names_to_homo,
+    homo_to_hetero_features,
+    element_size,
+)
+from .explain.explainer import Explainer, extract_index, set_seed, weight_stacking
+from .explain.kernels import shap_kernel, approximate_shap_kernel_parity
+from .explain.masks import MaskSampler
+from .explain.pathways import Pathways
+from .explain.wlm import train_model, train_surrogate, init_surrogate_weights
+from .models.adapter import Model
+from .models.gnn import (
+    GCNNodeModel,
+    HeteroGNN,
+    hetero_gcn_for_relations,
+    hetero_gat_for_relations,
+)
+from .models.layers import GCNConv, GATConv, Linear
+from .version import VERSION, get_version
+
+__version__ = VERSION
+
+__all__ = [
+    "Graph",
+    "HeteroInfo",
+    "from_arrays",
+    "hetero_to_homo",
+    "hetero_names_to_homo",
+    "homo_to_hetero_features",
+    "element_size",
+    "Explainer",
+    "extract_index",
+    "set_seed",
+    "weight_stacking",
+    "shap_kernel",
+    "approximate_shap_kernel_parity",
+    "MaskSampler",
+    "Pathways",
+    "train_model",
+    "train_surrogate",
+    "init_surrogate_weights",
+    "Model",
+    "GCNNodeModel",
+    "HeteroGNN",
+    "hetero_gcn_for_relations",
+    "hetero_gat_for_relations",
+    "GCNConv",
+    "GATConv",
+    "Linear",
+    "VERSION",
+    "get_version",
+]

@@ -1,0 +1,271 @@
+"""Explainer orchestrator (reference L6, ``src/pathway_explanations/explainer.py``).
+
+Public surface mirrors the reference: construct with (feat, edge_index, model,
+params, names, pathways, pathway_names, element_type, problem, node_types,
+edge_types), call ``run(element, times)``, receive two sorted pandas
+DataFrames.  Internally everything is the TPU-native pipeline: padded
+subgraphs, vmapped masked forwards, scan-compiled surrogate training.
+
+Reference quirk fixed by design (SURVEY §7.3): the reference seeds its RNGs
+only when ``times == 1`` (``explainer.py:341-343``) so multi-repeat runs are
+irreproducible; here the repeat index is folded into a counter-based PRNG key
+— reproducible runs *and* distinct repeats.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..graph import (
+    Graph,
+    element_size,
+    from_arrays,
+    hetero_names_to_homo,
+    hetero_to_homo,
+)
+from ..models.adapter import Model
+from ..ops.khop import extract_khop_subgraph
+from ..utils.prng import repeat_key
+from .masks import MaskSampler
+from .pathways import Pathways
+from .wlm import train_model
+
+
+def set_seed(seed: int = 100) -> jax.Array:
+    """API-parity shim for the reference's global seeding
+    (``explainer.py:14-22``).  JAX randomness is functional, so this simply
+    returns a root key; the Explainer derives keys from ``params['seed']``."""
+    return jax.random.PRNGKey(int(seed))
+
+
+def extract_index(element, names=None) -> int:
+    """Index of the element of interest in ``names`` (reference
+    ``explainer.py:191-226``)."""
+    if names is None:
+        if not isinstance(element, (int, float, np.integer, np.floating)):
+            raise AssertionError(
+                "No element names have been given and the node name given is not numeric"
+            )
+        return int(element)
+    names_array = np.array(names, dtype=str)
+    hits = np.where(names_array == str(element))[0]
+    if hits.size == 0:
+        raise AssertionError(
+            f"Element name '{element}' is not present in the graph"
+        )
+    return int(hits[0])
+
+
+def weight_stacking(weights: Sequence[jax.Array]) -> Tuple[np.ndarray, np.ndarray]:
+    """Mean/std across repeats (reference ``explainer.py:288-314``; std is
+    population std, ``unbiased=False``)."""
+    stack = np.stack([np.asarray(w) for w in weights], axis=0)
+    return stack.mean(axis=0), stack.std(axis=0)
+
+
+def config_val_dataframe(mean, std, names) -> pd.DataFrame:
+    """Element-score DataFrame (reference ``data.py:650-693``)."""
+    df = pd.DataFrame(
+        {
+            "name": list(names),
+            "config_value_mean": np.asarray(mean, np.float64),
+            "config_value_std": np.asarray(std, np.float64),
+        }
+    )
+    return df.set_index("name").sort_values(by=["config_value_mean"], ascending=False)
+
+
+class Explainer:
+    """Community-aware GNN explainer.
+
+    Parameters mirror the reference (``explainer.py:25-104``):
+
+    feat / edge_index : arrays ([N,F] / [2,E]) or dicts of them (hetero)
+    model : a :class:`..models.adapter.Model` (model definition + params) —
+        the "black box" being explained
+    params : hyperparameter dict (seed, interpret_samples, epochs, lr,
+        l1_lambda, ... — reference ``config/configs.json``)
+    names : list of element names, or dict for hetero
+    pathways / pathway_names : community structure (None → Shapley mode)
+    element_type : node/edge type of the query in hetero graphs
+    problem : "node_prediction" | "edge_prediction" | "graph_prediction"
+    """
+
+    def __init__(
+        self,
+        feat,
+        edge_index,
+        model: Model,
+        params: Dict[str, Any],
+        names,
+        pathways=None,
+        pathway_names=None,
+        element_type=None,
+        problem: str = "node_prediction",
+        node_types=None,
+        edge_types=None,
+    ):
+        self.initial_assertions(
+            feat, edge_index, model, params, names, pathways, pathway_names,
+            element_type, problem,
+        )
+        self.feat = feat
+        self.edge_index = edge_index
+        self.model = model
+        self.params = params
+        self.names = names
+        self.pathways = pathways
+        self.pathway_names = pathway_names
+        self.element_type = element_type
+        self.problem = problem.lower().strip()
+        self.node_types = node_types
+        self.edge_types = edge_types
+
+    @staticmethod
+    def initial_assertions(
+        feat, edge_index, model, params, names, pathways, pathway_names,
+        element_type, problem,
+    ) -> None:
+        """Input validation (reference ``explainer.py:106-189``)."""
+        if pathways is not None:
+            assert isinstance(pathways, (list, dict)), "Pathways is not list or dict"
+        if pathway_names is not None:
+            assert isinstance(
+                pathway_names, (list, dict)
+            ), "Pathway names is not list or dict"
+            assert len(pathway_names) == len(pathways), (
+                "Length of list with pathway names and list with pathway indexes "
+                "do not match"
+            )
+        assert isinstance(params, dict), "Hyperparameters given is not dictionary"
+        assert isinstance(problem, str), "Problem type given is not string"
+        assert isinstance(names, (list, dict)), "Element names is not list or dict"
+        assert isinstance(model, Model), "model must be a Model adapter"
+        if element_type is not None:
+            assert isinstance(
+                element_type, (str, tuple)
+            ), "Element type is not string (node) nor tuple (edge)"
+            if "node" in problem:
+                assert isinstance(feat, dict), "Feature given is not a dict of node types"
+                assert element_type in feat, (
+                    f"Node type '{element_type}' is not among input node types "
+                    "in heterogeneous graph"
+                )
+            elif "edge" in problem:
+                assert isinstance(
+                    edge_index, dict
+                ), "Edge index given is not a dict of edge index types"
+                assert element_type in edge_index, (
+                    f"Edge type '{element_type}' is not among input edge types "
+                    "in heterogeneous graph"
+                )
+
+    # ------------------------------------------------------------------
+    def _prepare_graph(self):
+        """Homogenise (if hetero) and build the padded device graph."""
+        if isinstance(self.feat, dict) and isinstance(self.edge_index, dict):
+            graph, info = hetero_to_homo(self.feat, self.edge_index)
+            names, _name_types = hetero_names_to_homo(self.names)
+            return graph, info, names
+        graph = from_arrays(
+            self.feat,
+            self.edge_index,
+            node_type=self.node_types,
+            edge_type=self.edge_types,
+        )
+        return graph, None, self.names
+
+    def run(self, element, times: int = 1) -> Tuple[pd.DataFrame, Optional[pd.DataFrame]]:
+        """Explain one node/edge/graph prediction.
+
+        Returns (config_val_df, pathway_df) — element scores and
+        community-aggregated scores, both sorted descending (reference
+        ``explainer.py:316-546``).
+        """
+        graph, hetero_info, names = self._prepare_graph()
+
+        pathways, pathway_names, pathway_types = self.pathways, self.pathway_names, None
+        if pathways is not None:
+            pclass = Pathways(pathways, pathway_names)
+            pathways, pathway_names, pathway_types = pclass.hetero2homo(
+                self.problem,
+                hetero_info.node_pointers if hetero_info else None,
+                hetero_info.edge_pointers if hetero_info else None,
+            )
+
+        sub_pathway = pathways
+        sub_pathway_names = pathway_names
+
+        if "graph" not in self.problem:
+            relations = hetero_info.num_relations if hetero_info else 0
+            n_hops = self.model.get_hops(relations)
+            ind = extract_index(element, names)
+            # one extra hop, mirroring the reference (data.py:328)
+            sub = extract_khop_subgraph(graph, ind, n_hops + 1)
+            sub_graph = sub.graph
+            sub_query = sub.query
+            kept = np.asarray(sub.parent_nodes[: sub_graph.num_nodes])
+            names_array = np.array(names, dtype=str)
+            if "edge" in self.problem:
+                kept_edges = np.nonzero(np.asarray(sub.parent_edge_mask))[0]
+                sub_names = names_array[kept_edges].tolist()
+            else:
+                sub_names = names_array[kept].tolist()
+            if pathways is not None:
+                sub_pathway, sub_pathway_names, _ = Pathways(
+                    pathways, pathway_names, pathway_types
+                ).comp_graph(sub_names)
+        else:
+            sub_graph = graph
+            sub_names = list(names)
+            sub_query = extract_index(element, sub_names)
+
+        # communities -> element indices within the computational graph
+        sub_pathway_inds = None
+        if pathways is not None:
+            sub_pclass = Pathways(sub_pathway, sub_pathway_names)
+            if len(sub_pathway) and isinstance(sub_pathway[0][0], (int, np.integer)):
+                sub_pathway_inds = sub_pathway
+            else:
+                sub_pathway_inds = sub_pclass.names2inds(sub_names)
+
+        elements = element_size(sub_graph, self.problem)
+        width = (
+            sub_graph.e_pad if "edge" in self.problem else sub_graph.n_pad
+        )
+        sampler = MaskSampler(elements, width, self.params, sub_pathway_inds)
+
+        query = None if "graph" in self.problem else int(sub_query)
+        seed = int(self.params.get("seed", 0))
+
+        config_vals: List[np.ndarray] = []
+        for i in range(times):
+            key = repeat_key(seed, i)
+            k_mask, k_init = jax.random.split(key)
+            mask, _tags, batch_size = sampler.sample(k_mask)
+            result = train_model(
+                mask,
+                self.model,
+                sub_graph,
+                self.params,
+                self.problem,
+                query,
+                elements,
+                batch_size,
+                k_init,
+            )
+            config_vals.append(np.asarray(result.weights)[:elements])
+
+        mean_cv, std_cv = weight_stacking(config_vals)
+        config_val_df = config_val_dataframe(mean_cv, std_cv, sub_names)
+
+        pathway_df = None
+        if pathways is not None:
+            pathway_df = sub_pclass.aggregate(mean_cv, sub_pathway_inds)
+
+        return config_val_df, pathway_df

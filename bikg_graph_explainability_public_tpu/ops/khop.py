@@ -1,0 +1,140 @@
+"""Static-shape k-hop computational-subgraph extraction.
+
+TPU-native replacement for the reference's use of PyG ``k_hop_subgraph``
+(``/root/reference/src/pathway_explanations/data.py:281-361``).  The frontier
+expansion is a fixed number of scatter-OR sweeps over the (padded) edge list —
+no data-dependent shapes, so it jits and shards.  Extraction into a padded
+subgraph happens with a host-chosen capacity bucket.
+
+Semantics match PyG ``k_hop_subgraph(ind, k, edge_index, relabel_nodes=True)``
+with the default ``flow="source_to_target"``: a node is kept iff it can reach
+the query along <=k directed edges (messages flow source->target); the edge
+set is the subgraph induced on kept nodes; kept nodes are relabelled in
+ascending original order.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph import Graph
+from ..utils.padding import pad_budget
+
+
+@partial(jax.jit, static_argnames=("n_hops", "num_nodes"))
+def khop_reachable(
+    senders: jax.Array,
+    receivers: jax.Array,
+    edge_valid: jax.Array,
+    query: jax.Array,
+    n_hops: int,
+    num_nodes: int,
+) -> jax.Array:
+    """Boolean mask of nodes within ``n_hops`` (following edge direction
+    towards the query), query included."""
+    reach0 = jnp.zeros((num_nodes,), jnp.int32).at[query].set(1)
+
+    def body(_, reach):
+        # edges whose target is already reached contribute their source
+        hot = reach[receivers] * edge_valid.astype(jnp.int32)
+        return jnp.maximum(reach, jnp.zeros_like(reach).at[senders].max(hot))
+
+    reach = jax.lax.fori_loop(0, n_hops, body, reach0)
+    return reach.astype(bool)
+
+
+class Subgraph(NamedTuple):
+    graph: Graph
+    # position of each kept node in the parent graph, padded with parent n_pad
+    parent_nodes: jax.Array
+    # new index of the query node
+    query: int
+    # [E_parent] bool: which parent edges were kept
+    parent_edge_mask: jax.Array
+
+
+def extract_khop_subgraph(
+    graph: Graph,
+    query: int,
+    n_hops: int,
+    *,
+    pad_mode: str = "multiple",
+) -> Subgraph:
+    """Extract the padded k-hop computational subgraph around ``query``.
+
+    Host-side sizing + device-side gathers.  If the subgraph has no edges the
+    query gets a single self-loop, mirroring the reference fallback
+    (``data.py:337-339``).
+    """
+    reach = khop_reachable(
+        graph.senders,
+        graph.receivers,
+        graph.edge_mask,
+        jnp.asarray(query, jnp.int32),
+        n_hops,
+        graph.n_pad,
+    )
+    reach = np.asarray(reach).copy()
+    reach &= np.asarray(graph.node_mask)
+    snd = np.asarray(graph.senders)
+    rcv = np.asarray(graph.receivers)
+    keep_edge = reach[snd] & reach[rcv] & np.asarray(graph.edge_mask)
+
+    kept_nodes = np.nonzero(reach)[0]  # ascending → matches PyG relabel order
+    n_sub = int(kept_nodes.shape[0])
+    kept_edges = np.nonzero(keep_edge)[0]
+    e_sub = int(kept_edges.shape[0])
+
+    relabel = np.full((graph.n_pad,), -1, np.int64)
+    relabel[kept_nodes] = np.arange(n_sub)
+    new_query = int(relabel[query])
+
+    n_pad = pad_budget(n_sub, pad_mode, 8)
+    self_loop_fallback = e_sub == 0
+    e_pad = pad_budget(max(e_sub, 1), pad_mode, 8)
+
+    x = np.zeros((n_pad, graph.num_features), np.float32)
+    x[:n_sub] = np.asarray(graph.x)[kept_nodes]
+    new_snd = np.zeros((e_pad,), np.int32)
+    new_rcv = np.zeros((e_pad,), np.int32)
+    new_et = np.zeros((e_pad,), np.int32)
+    if self_loop_fallback:
+        new_snd[0] = new_query
+        new_rcv[0] = new_query
+        e_sub = 1
+    else:
+        new_snd[:e_sub] = relabel[snd[kept_edges]]
+        new_rcv[:e_sub] = relabel[rcv[kept_edges]]
+        new_et[:e_sub] = np.asarray(graph.edge_type)[kept_edges]
+    nmask = np.zeros((n_pad,), bool)
+    nmask[:n_sub] = True
+    emask = np.zeros((e_pad,), bool)
+    emask[:e_sub] = True
+    nt = np.zeros((n_pad,), np.int32)
+    nt[:n_sub] = np.asarray(graph.node_type)[kept_nodes]
+
+    sub = Graph(
+        x=jnp.asarray(x),
+        senders=jnp.asarray(new_snd),
+        receivers=jnp.asarray(new_rcv),
+        node_mask=jnp.asarray(nmask),
+        edge_mask=jnp.asarray(emask),
+        node_type=jnp.asarray(nt),
+        edge_type=jnp.asarray(new_et),
+        num_nodes=n_sub,
+        num_edges=e_sub,
+        typed=graph.typed,
+    )
+    parent_nodes = np.full((n_pad,), graph.n_pad, np.int64)
+    parent_nodes[:n_sub] = kept_nodes
+    return Subgraph(
+        graph=sub,
+        parent_nodes=jnp.asarray(parent_nodes),
+        query=new_query,
+        parent_edge_mask=jnp.asarray(keep_edge),
+    )

@@ -1,0 +1,135 @@
+"""Shared test fixtures: reproducible mock graphs and a dense numpy oracle.
+
+The oracle implements PyG-semantics GCN/GAT with *dense* adjacency matrices —
+a deliberately different algorithm from the framework's segment-sum path, so
+agreement is a genuine cross-check (mirrors the reference's hand-built ground
+truths, ``/root/reference/tests/test_data.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def make_graph(
+    n: int = 36, f: int = 84, e: int = 116, seed: int = 0, self_loops: bool = True
+):
+    """Random directed graph, reference test scale (36 nodes / 116 edges,
+    ``tests/test_explainer.py:317-608``)."""
+    rng = np.random.default_rng(seed)
+    feat = rng.normal(size=(n, f)).astype(np.float32)
+    src = rng.integers(0, n, size=e)
+    dst = rng.integers(0, n, size=e)
+    if not self_loops:
+        bad = src == dst
+        dst[bad] = (dst[bad] + 1) % n
+    edge_index = np.stack([src, dst]).astype(np.int64)
+    names = [str(i) for i in range(n)]
+    return feat, edge_index, names
+
+
+def make_communities(n: int, k: int = 4, seed: int = 1):
+    """k communities partitioning [0, n) with string names."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    chunks = np.array_split(perm, k)
+    pathways = [[str(int(v)) for v in c] for c in chunks]
+    names = [f"community_{i}" for i in range(k)]
+    return pathways, names
+
+
+# ---------------------------------------------------------------------------
+# dense numpy oracle (PyG semantics)
+# ---------------------------------------------------------------------------
+
+
+def dense_gcn_conv(
+    x: np.ndarray,
+    edge_index: np.ndarray,
+    weight: np.ndarray,
+    bias: np.ndarray | None = None,
+    edge_keep: np.ndarray | None = None,
+) -> np.ndarray:
+    """GCNConv oracle: A+I with data self-loops replaced, symmetric norm,
+    aggregation at targets.  weight is torch layout [out, in]."""
+    n = x.shape[0]
+    a = np.zeros((n, n), np.float64)
+    src, dst = edge_index
+    keep = np.ones(src.shape[0], bool) if edge_keep is None else edge_keep.astype(bool)
+    for s, d, k in zip(src, dst, keep):
+        if k and s != d:
+            a[d, s] += 1.0  # messages flow source -> target
+    a += np.eye(n)
+    deg = a.sum(axis=1)
+    dis = np.where(deg > 0, deg**-0.5, 0.0)
+    a_norm = dis[:, None] * a * dis[None, :]
+    out = a_norm @ (x.astype(np.float64) @ weight.T.astype(np.float64))
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def dense_gat_conv(
+    x_src: np.ndarray,
+    x_dst: np.ndarray,
+    edge_index: np.ndarray,
+    lin_src: np.ndarray,
+    lin_dst: np.ndarray,
+    att_src: np.ndarray,
+    att_dst: np.ndarray,
+    bias: np.ndarray | None = None,
+    negative_slope: float = 0.2,
+    edge_keep: np.ndarray | None = None,
+) -> np.ndarray:
+    """Single-head GATConv oracle (add_self_loops=False)."""
+    n = x_dst.shape[0]
+    h = 1
+    c = lin_src.shape[0]
+    xs = x_src.astype(np.float64) @ lin_src.T.astype(np.float64)  # [N, C]
+    xd = x_dst.astype(np.float64) @ lin_dst.T.astype(np.float64)
+    a_s = (xs * att_src.reshape(1, -1)).sum(-1)
+    a_d = (xd * att_dst.reshape(1, -1)).sum(-1)
+    src, dst = edge_index
+    keep = np.ones(src.shape[0], bool) if edge_keep is None else edge_keep.astype(bool)
+    out = np.zeros((n, c), np.float64)
+    for v in range(n):
+        inc = [i for i in range(src.shape[0]) if dst[i] == v and keep[i]]
+        if not inc:
+            continue
+        logits = np.array([a_s[src[i]] + a_d[v] for i in inc])
+        logits = np.where(logits >= 0, logits, negative_slope * logits)
+        logits -= logits.max()
+        alpha = np.exp(logits)
+        alpha /= alpha.sum()
+        for a_i, i in zip(alpha, inc):
+            out[v] += a_i * xs[src[i]]
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def dense_khop(edge_index: np.ndarray, query: int, hops: int, n: int):
+    """k-hop receptive field oracle: nodes reaching query along <=k directed
+    edges (PyG flow='source_to_target')."""
+    src, dst = edge_index
+    reach = np.zeros(n, bool)
+    reach[query] = True
+    for _ in range(hops):
+        new = reach.copy()
+        for s, d in zip(src, dst):
+            if reach[d]:
+                new[s] = True
+        reach = new
+    return reach
+
+
+def mlp_head(x, fc_params, final="sigmoid"):
+    """ReLU MLP head with sigmoid output (oracle)."""
+    h = x.astype(np.float64)
+    for i, p in enumerate(fc_params):
+        h = h @ p["weight"].T.astype(np.float64) + p["bias"].astype(np.float64)
+        if i == len(fc_params) - 1:
+            h = 1.0 / (1.0 + np.exp(-h)) if final == "sigmoid" else h
+        else:
+            h = np.maximum(h, 0.0)
+    return h

@@ -1,0 +1,268 @@
+"""Layer/model numerics vs dense oracle + trained-checkpoint parity
+(reference scope: tests/test_model.py, plus the forward-parity gate the
+reference lacks — SURVEY §4)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bikg_graph_explainability_public_tpu.graph import from_arrays, hetero_to_homo
+from bikg_graph_explainability_public_tpu.models.adapter import Model
+from bikg_graph_explainability_public_tpu.models.gnn import (
+    GCNNodeModel,
+    hetero_gcn_for_relations,
+    hetero_gat_for_relations,
+)
+from bikg_graph_explainability_public_tpu.models.layers import GATConv, GCNConv
+from bikg_graph_explainability_public_tpu.models.torch_import import (
+    gcn_node_model_params,
+    hetero_gcn_params,
+    hetero_relations_from_state_dict,
+    load_state_dict,
+)
+from fixtures import (
+    dense_gat_conv,
+    dense_gcn_conv,
+    make_graph,
+    mlp_head,
+)
+
+HOMO_CKPT = "/root/reference/test_data/gcn_homo_1hop_lungCancer.pth.tar"
+HETERO_CKPT = "/root/reference/test_data/gcn_hetero_1hop_lungCancer.pth.tar"
+
+
+def full_edge_weight(g):
+    return g.edge_mask.astype(jnp.float32)
+
+
+class TestGCNConv:
+    def test_matches_dense_oracle(self):
+        feat, ei, _ = make_graph(n=20, f=7, e=55, seed=11)
+        g = from_arrays(feat, ei)
+        conv = GCNConv(7, 5)
+        params = conv.init(jax.random.PRNGKey(0))
+        out = conv.apply(
+            params, g.x, g.senders, g.receivers, full_edge_weight(g)
+        )
+        oracle = dense_gcn_conv(
+            feat, ei, np.asarray(params["weight"]), np.asarray(params["bias"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(out)[:20], oracle, rtol=1e-5, atol=1e-5
+        )
+
+    def test_masked_equals_physically_removed(self):
+        """Edge weight 0 must equal rebuilding the graph without those edges —
+        the core equivalence behind replacing the reference's edge-drop
+        perturbation (data.py:453-498) with masking."""
+        feat, ei, _ = make_graph(n=15, f=6, e=40, seed=13)
+        rng = np.random.default_rng(2)
+        keep = rng.random(40) > 0.4
+        conv = GCNConv(6, 4)
+        params = conv.init(jax.random.PRNGKey(1))
+
+        g_full = from_arrays(feat, ei)
+        ew = np.zeros(g_full.e_pad, np.float32)
+        ew[:40] = keep.astype(np.float32)
+        out_masked = conv.apply(
+            params, g_full.x, g_full.senders, g_full.receivers, jnp.asarray(ew)
+        )
+
+        g_cut = from_arrays(feat, ei[:, keep])
+        out_cut = conv.apply(
+            params, g_cut.x, g_cut.senders, g_cut.receivers, full_edge_weight(g_cut)
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_masked)[:15], np.asarray(out_cut)[:15], rtol=1e-5, atol=1e-6
+        )
+
+
+class TestGATConv:
+    def test_matches_dense_oracle(self):
+        feat, ei, _ = make_graph(n=12, f=5, e=30, seed=17)
+        g = from_arrays(feat, ei)
+        conv = GATConv((5, 5), 3, add_self_loops=False)
+        params = conv.init(jax.random.PRNGKey(3))
+        out = conv.apply(params, g.x, g.senders, g.receivers, full_edge_weight(g))
+        oracle = dense_gat_conv(
+            feat,
+            feat,
+            ei,
+            np.asarray(params["lin_src"]["weight"]),
+            np.asarray(params["lin_dst"]["weight"]),
+            np.asarray(params["att_src"]),
+            np.asarray(params["att_dst"]),
+            np.asarray(params["bias"]),
+        )
+        np.testing.assert_allclose(np.asarray(out)[:12], oracle, rtol=1e-4, atol=1e-5)
+
+    def test_masked_edges_leave_softmax(self):
+        feat, ei, _ = make_graph(n=10, f=4, e=25, seed=19)
+        rng = np.random.default_rng(4)
+        keep = rng.random(25) > 0.5
+        conv = GATConv((4, 4), 3, add_self_loops=False)
+        params = conv.init(jax.random.PRNGKey(5))
+        g = from_arrays(feat, ei)
+        ew = np.zeros(g.e_pad, np.float32)
+        ew[:25] = keep
+        out = conv.apply(params, g.x, g.senders, g.receivers, jnp.asarray(ew))
+        oracle = dense_gat_conv(
+            feat,
+            feat,
+            ei,
+            np.asarray(params["lin_src"]["weight"]),
+            np.asarray(params["lin_dst"]["weight"]),
+            np.asarray(params["att_src"]),
+            np.asarray(params["att_dst"]),
+            np.asarray(params["bias"]),
+            edge_keep=keep,
+        )
+        np.testing.assert_allclose(np.asarray(out)[:10], oracle, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(not os.path.exists(HOMO_CKPT), reason="reference checkpoint absent")
+class TestHomoCheckpointParity:
+    def test_forward_allclose(self):
+        """Import the trained lungCancer GCN and verify the full forward
+        against the dense oracle — the parity gate of SURVEY §7.2 step 2."""
+        sd = load_state_dict(HOMO_CKPT)
+        params = gcn_node_model_params(sd)
+        model = GCNNodeModel(in_features=84)
+        feat, ei, _ = make_graph(n=36, f=84, e=116, seed=21)
+        g = from_arrays(feat, ei)
+        out = model.apply(params, g.x, g.senders, g.receivers, full_edge_weight(g))
+
+        conv_out = dense_gcn_conv(
+            feat, ei, sd["conv.0.lin.weight"], sd["conv.0.bias"]
+        )
+        conv_out = np.maximum(conv_out, 0.0)
+        fc = [
+            {"weight": sd[f"fc.{2 * j}.weight"], "bias": sd[f"fc.{2 * j}.bias"]}
+            for j in range(3)
+        ]
+        oracle = mlp_head(conv_out, fc)
+        np.testing.assert_allclose(np.asarray(out)[:36], oracle, rtol=1e-4, atol=1e-5)
+        assert (np.asarray(out)[:36] >= 0).all() and (np.asarray(out)[:36] <= 1).all()
+
+    def test_query_fast_path(self):
+        sd = load_state_dict(HOMO_CKPT)
+        params = gcn_node_model_params(sd)
+        model = GCNNodeModel(in_features=84)
+        feat, ei, _ = make_graph(n=20, f=84, e=60, seed=23)
+        g = from_arrays(feat, ei)
+        full = model.apply(params, g.x, g.senders, g.receivers, full_edge_weight(g))
+        fast = model.apply_query(
+            params, g.x, g.senders, g.receivers, full_edge_weight(g), 7
+        )
+        np.testing.assert_allclose(np.asarray(full)[7], np.asarray(fast), rtol=1e-6)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(HETERO_CKPT), reason="reference checkpoint absent"
+)
+class TestHeteroCheckpointParity:
+    def test_forward_allclose(self):
+        sd = load_state_dict(HETERO_CKPT)
+        relations = hetero_relations_from_state_dict(sd)
+        assert relations == [
+            ("gene", "interacts", "gene"),
+            ("gene", "modifies", "gene"),
+            ("gene", "regulates", "gene"),
+        ]
+        params = hetero_gcn_params(sd)
+        model = hetero_gcn_for_relations(["gene"], relations, in_features=84)
+
+        rng = np.random.default_rng(29)
+        feat = {"gene": rng.normal(size=(14, 84)).astype(np.float32)}
+        edge_index = {
+            r: np.stack(
+                [rng.integers(0, 14, size=10), rng.integers(0, 14, size=10)]
+            )
+            for r in relations
+        }
+        g, info = hetero_to_homo(feat, edge_index)
+        adapter = Model(model, params)
+        out = adapter.infer(g)
+
+        # oracle: sum of per-relation dense GCNConvs, ReLU, shared MLP head
+        acc = np.zeros((14, 16))
+        for i, r in enumerate(relations):
+            key = "__".join(r)
+            acc += dense_gcn_conv(
+                feat["gene"],
+                edge_index[r],
+                sd[f"conv.0.convs.{key}.lin.weight"],
+                sd[f"conv.0.convs.{key}.bias"],
+            )
+        acc = np.maximum(acc, 0.0)
+        fc = [
+            {"weight": sd[f"fc.{2 * j}.weight"], "bias": sd[f"fc.{2 * j}.bias"]}
+            for j in range(3)
+        ]
+        oracle = mlp_head(acc, fc)
+        np.testing.assert_allclose(np.asarray(out)[:14], oracle, rtol=1e-4, atol=1e-5)
+
+
+class TestHeteroGAT:
+    def test_two_type_gat_vs_oracle(self):
+        """Two node types + two relations with per-relation GAT, matching the
+        reference hetero test model shape (tests/test_utils.py:86-182)."""
+        rng = np.random.default_rng(31)
+        feat = {
+            "0": rng.normal(size=(6, 4)).astype(np.float32),
+            "1": rng.normal(size=(5, 4)).astype(np.float32),
+        }
+        relations = [("0", "a", "1"), ("1", "b", "0")]
+        edge_index = {
+            ("0", "a", "1"): np.stack(
+                [rng.integers(0, 6, size=8), rng.integers(0, 5, size=8)]
+            ),
+            ("1", "b", "0"): np.stack(
+                [rng.integers(0, 5, size=7), rng.integers(0, 6, size=7)]
+            ),
+        }
+        g, info = hetero_to_homo(feat, edge_index)
+        model = hetero_gat_for_relations(
+            ["0", "1"], relations, in_features=4, conv_channels=(3,), fc_channels=(3, 3)
+        )
+        params = model.init(jax.random.PRNGKey(7))
+        adapter = Model(model, params)
+        out = np.asarray(adapter.infer(g))[:11]
+        assert np.isfinite(out).all()
+
+        # oracle for the conv layer on the homogenised node set
+        x_h = np.vstack([feat["0"], feat["1"]])
+        acc = np.zeros((11, 3))
+        for i, r in enumerate(relations):
+            key = "__".join(r)
+            p = params["conv"][0][key]
+            shift_s = 0 if r[0] == "0" else 6
+            shift_d = 0 if r[-1] == "0" else 6
+            ei = edge_index[r] + np.array([[shift_s], [shift_d]])
+            contrib = dense_gat_conv(
+                x_h,
+                x_h,
+                ei,
+                np.asarray(p["lin_src"]["weight"]),
+                np.asarray(p["lin_dst"]["weight"]),
+                np.asarray(p["att_src"]),
+                np.asarray(p["att_dst"]),
+                bias=None,
+            )
+            # bias only on dst-type rows (PyG HeteroConv per-type outputs)
+            dst_rows = np.arange(11) >= 6 if r[-1] == "1" else np.arange(11) < 6
+            contrib[dst_rows] += np.asarray(p["bias"])
+            acc += contrib
+        h = np.maximum(acc, 0.0)
+        fc = [
+            {
+                "weight": np.asarray(params["fc"][j]["weight"]),
+                "bias": np.asarray(params["fc"][j]["bias"]),
+            }
+            for j in range(2)
+        ]
+        oracle = mlp_head(h, fc)
+        np.testing.assert_allclose(out, oracle, rtol=1e-4, atol=1e-5)
