@@ -1,0 +1,148 @@
+"""Command-line interface.
+
+The reference *declares* a click CLI entry point that does not exist
+(``setup.cfg:88-90`` points at ``graph_interpretability.cli:main`` — dead
+cookiecutter scaffolding, SURVEY §2.2).  This is a real one, stdlib-argparse:
+
+    python -m bikg_graph_explainability_public_tpu.cli explain \
+        --graph graph.npz --checkpoint model.pth.tar --element 10 \
+        [--config configs.json] [--pathways pathways.json] [--times 3] \
+        [--out scores.csv]
+
+    python -m bikg_graph_explainability_public_tpu.cli bench
+    python -m bikg_graph_explainability_public_tpu.cli version
+
+Graph file: ``.npz`` with arrays ``feat`` [N,F], ``edge_index`` [2,E] and
+optional ``names`` [N] (defaults to stringified indices).
+Pathways file: JSON ``{"pathways": [[...], ...], "names": [...]}``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _load_graph(path: str):
+    data = np.load(path, allow_pickle=True)
+    feat = data["feat"]
+    edge_index = data["edge_index"]
+    if "names" in data:
+        names = [str(x) for x in data["names"]]
+    else:
+        names = [str(i) for i in range(feat.shape[0])]
+    return feat, edge_index, names
+
+
+def cmd_explain(args: argparse.Namespace) -> int:
+    import bikg_graph_explainability_public_tpu as px
+    from .config import DEFAULTS, load_config
+    from .models.torch_import import gcn_node_model_params, load_state_dict
+
+    feat, edge_index, names = _load_graph(args.graph)
+    cfg = load_config(args.config) if args.config else load_config(dict(DEFAULTS))
+
+    sd = load_state_dict(args.checkpoint)
+    params = gcn_node_model_params(sd)
+    in_features = params["conv"][0]["weight"].shape[1]
+    conv_channels = tuple(p["weight"].shape[0] for p in params["conv"])
+    fc_channels = tuple(p["weight"].shape[1] for p in params["fc"])
+    model = px.Model(
+        px.GCNNodeModel(
+            in_features,
+            conv_channels=conv_channels,
+            fc_channels=fc_channels,
+            out_features=params["fc"][-1]["weight"].shape[0],
+        ),
+        params,
+    )
+
+    pathways = pathway_names = None
+    if args.pathways:
+        with open(args.pathways) as f:
+            pw = json.load(f)
+        pathways = pw["pathways"]
+        pathway_names = pw.get("names")
+
+    ex = px.Explainer(
+        feat,
+        edge_index,
+        model,
+        cfg,
+        names,
+        pathways=pathways,
+        pathway_names=pathway_names,
+        problem=args.problem,
+    )
+    cv_df, pw_df = ex.run(args.element, times=args.times)
+
+    if args.out:
+        cv_df.to_csv(args.out)
+        print(f"wrote {args.out}")
+        if pw_df is not None:
+            pw_path = args.out.rsplit(".", 1)[0] + "_pathways.csv"
+            pw_df.to_csv(pw_path)
+            print(f"wrote {pw_path}")
+    else:
+        print(cv_df.to_string())
+        if pw_df is not None:
+            print()
+            print(pw_df.to_string())
+    return 0
+
+
+def cmd_bench(_args: argparse.Namespace) -> int:
+    import runpy
+    import os
+
+    runpy.run_path(
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+        run_name="__main__",
+    )
+    return 0
+
+
+def cmd_version(_args: argparse.Namespace) -> int:
+    from .version import get_version
+
+    print(get_version(with_git_hash=True))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="bikg_graph_explainability_public_tpu",
+        description="TPU-native community-aware GNN explainability",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pe = sub.add_parser("explain", help="explain one node/edge/graph prediction")
+    pe.add_argument("--graph", required=True, help=".npz with feat/edge_index[/names]")
+    pe.add_argument("--checkpoint", required=True, help="torch .pth.tar checkpoint")
+    pe.add_argument("--element", required=True, help="element name to explain")
+    pe.add_argument("--config", help="hyperparameter JSON (reference schema)")
+    pe.add_argument("--pathways", help="JSON with pathways/names")
+    pe.add_argument(
+        "--problem",
+        default="node_prediction",
+        choices=["node_prediction", "edge_prediction", "graph_prediction"],
+    )
+    pe.add_argument("--times", type=int, default=1)
+    pe.add_argument("--out", help="CSV output path")
+    pe.set_defaults(fn=cmd_explain)
+
+    pb = sub.add_parser("bench", help="run the headline benchmark")
+    pb.set_defaults(fn=cmd_bench)
+
+    pv = sub.add_parser("version", help="print version")
+    pv.set_defaults(fn=cmd_version)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -142,7 +142,9 @@ class Explainer:
                 "Length of list with pathway names and list with pathway indexes "
                 "do not match"
             )
-        assert isinstance(params, dict), "Hyperparameters given is not dictionary"
+        assert isinstance(params, dict) or (
+            hasattr(params, "get") and hasattr(params, "__getitem__")
+        ), "Hyperparameters given is not dictionary"
         assert isinstance(problem, str), "Problem type given is not string"
         assert isinstance(names, (list, dict)), "Element names is not list or dict"
         assert isinstance(model, Model), "model must be a Model adapter"

@@ -1,0 +1,153 @@
+"""End-to-end Explainer tests (reference scope: tests/test_explainer.py
+test_run — the integration test — plus unit tests of the helpers)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import bikg_graph_explainability_public_tpu as px
+from bikg_graph_explainability_public_tpu.models.torch_import import (
+    gcn_node_model_params,
+    hetero_gcn_params,
+    hetero_relations_from_state_dict,
+    load_state_dict,
+)
+from fixtures import dense_khop, make_communities, make_graph
+
+HOMO_CKPT = "/root/reference/test_data/gcn_homo_1hop_lungCancer.pth.tar"
+HETERO_CKPT = "/root/reference/test_data/gcn_hetero_1hop_lungCancer.pth.tar"
+
+CONFIG = {
+    "seed": 1,
+    "interpret_samples": 20,
+    "epochs": 50,
+    "optimizer": "adam",
+    "lr": 0.01,
+    "lr_patience": 10,
+    "l1_lambda": 1e-4,
+}
+
+
+class TestHelpers:
+    def test_extract_index(self):
+        assert px.extract_index("b", ["a", "b", "c"]) == 1
+        assert px.extract_index(4, None) == 4
+        with pytest.raises(AssertionError):
+            px.extract_index("zz", ["a"])
+        with pytest.raises(AssertionError):
+            px.extract_index("zz", None)
+
+    def test_weight_stacking(self):
+        w = [np.array([1.0, 2.0]), np.array([3.0, 4.0])]
+        mean, std = px.weight_stacking(w)
+        np.testing.assert_allclose(mean, [2.0, 3.0])
+        np.testing.assert_allclose(std, [1.0, 1.0])  # population std
+
+    def test_initial_assertions(self):
+        feat, ei, names = make_graph(8, 4, 10)
+        model = px.Model(px.GCNNodeModel(4, (3,), (3, 3)), None)
+        with pytest.raises(AssertionError):
+            px.Explainer(feat, ei, model, "notdict", names)
+        with pytest.raises(AssertionError):
+            px.Explainer(
+                feat, ei, model, CONFIG, names,
+                pathways=[["a"]], pathway_names=["x", "y"],
+            )
+
+
+@pytest.mark.skipif(not os.path.exists(HOMO_CKPT), reason="checkpoint absent")
+class TestRun:
+    def _setup(self):
+        feat, ei, names = make_graph(n=36, f=84, e=116, seed=0)
+        sd = load_state_dict(HOMO_CKPT)
+        model = px.Model(px.GCNNodeModel(84), gcn_node_model_params(sd))
+        return feat, ei, names, model
+
+    def test_run_community_mode(self):
+        """Integration test mirroring the reference's test_run
+        (tests/test_explainer.py:303-647): 36-node graph, 4 communities,
+        trained checkpoint, times=3."""
+        feat, ei, names, model = self._setup()
+        pathways, pnames = make_communities(36, 4)
+        ex = px.Explainer(
+            feat, ei, model, CONFIG, names,
+            pathways=pathways, pathway_names=pnames,
+        )
+        cv_df, pw_df = ex.run("10", times=3)
+
+        # schema
+        assert list(cv_df.columns) == ["config_value_mean", "config_value_std"]
+        assert list(pw_df.columns) == ["score"]
+        # sizes: comp graph = 2-hop receptive field of node 10
+        reach = dense_khop(ei, 10, 2, 36)
+        assert len(cv_df) == int(reach.sum())
+        assert 1 <= len(pw_df) <= 4
+        # sorted descending, finite
+        assert (np.diff(cv_df["config_value_mean"].to_numpy()) <= 1e-12).all()
+        assert (np.diff(pw_df["score"].to_numpy()) <= 1e-12).all()
+        assert np.isfinite(cv_df.to_numpy()).all()
+        assert np.isfinite(pw_df.to_numpy()).all()
+        # names are from the graph
+        assert set(cv_df.index) <= set(names)
+        # repeats differ -> nonzero std somewhere
+        assert cv_df["config_value_std"].to_numpy().max() > 0
+
+    def test_run_shapley_mode(self):
+        feat, ei, names, model = self._setup()
+        ex = px.Explainer(feat, ei, model, CONFIG, names)
+        cv_df, pw_df = ex.run("10", times=1)
+        assert pw_df is None
+        assert (cv_df["config_value_std"] == 0).all()
+
+    def test_run_reproducible(self):
+        feat, ei, names, model = self._setup()
+        a, _ = px.Explainer(feat, ei, model, CONFIG, names).run("3", times=2)
+        b, _ = px.Explainer(feat, ei, model, CONFIG, names).run("3", times=2)
+        assert a.equals(b)
+
+    def test_run_edge_problem(self):
+        """Edge explanations work (the reference's crash on masks.py:294 is
+        fixed by design)."""
+        feat, ei, names, model = self._setup()
+        edge_names = [f"e{i}" for i in range(116)]
+        ex = px.Explainer(
+            feat, ei, model, CONFIG, edge_names, problem="edge_prediction"
+        )
+        cv_df, _ = ex.run("e5", times=1)
+        assert len(cv_df) > 0
+        assert np.isfinite(cv_df.to_numpy()).all()
+
+    def test_run_graph_problem(self):
+        feat, ei, names, model = self._setup()
+        ex = px.Explainer(feat, ei, model, CONFIG, names, problem="graph_prediction")
+        cv_df, _ = ex.run("0", times=1)
+        assert len(cv_df) == 36
+
+
+@pytest.mark.skipif(not os.path.exists(HETERO_CKPT), reason="checkpoint absent")
+class TestRunHetero:
+    def test_run_hetero_trained(self):
+        rng = np.random.default_rng(9)
+        sd = load_state_dict(HETERO_CKPT)
+        rels = hetero_relations_from_state_dict(sd)
+        model = px.Model(
+            px.hetero_gcn_for_relations(["gene"], rels, 84), hetero_gcn_params(sd)
+        )
+        feat = {"gene": rng.normal(size=(20, 84)).astype(np.float32)}
+        ei = {
+            r: np.stack([rng.integers(0, 20, 30), rng.integers(0, 20, 30)])
+            for r in rels
+        }
+        names = {"gene": [f"g{i}" for i in range(20)]}
+        pathways = {"gene": [[f"g{i}" for i in range(10)], [f"g{i}" for i in range(10, 20)]]}
+        pnames = {"gene": ["pwA", "pwB"]}
+        ex = px.Explainer(
+            feat, ei, model, CONFIG, names,
+            pathways=pathways, pathway_names=pnames,
+            problem="node_prediction", element_type="gene",
+        )
+        cv_df, pw_df = ex.run("g3", times=1)
+        assert len(cv_df) > 0
+        assert len(pw_df) >= 1
+        assert np.isfinite(cv_df.to_numpy()).all()

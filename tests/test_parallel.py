@@ -1,0 +1,71 @@
+"""Sharding tests: shard-count invariance of results (new capability vs the
+reference, which is single-device only — SURVEY §2.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bikg_graph_explainability_public_tpu as px
+from bikg_graph_explainability_public_tpu.explain.masks import MaskSampler
+from bikg_graph_explainability_public_tpu.graph import from_arrays
+from bikg_graph_explainability_public_tpu.parallel.mesh import make_mesh
+from bikg_graph_explainability_public_tpu.parallel.sharding import (
+    explain_training_step,
+    shard_batch,
+    shard_params_model_axis,
+    sharded_query_outputs,
+)
+from fixtures import make_graph
+
+
+def _model_and_graph():
+    feat, ei, _ = make_graph(n=24, f=16, e=60, seed=40)
+    g = from_arrays(feat, ei)
+    mdef = px.GCNNodeModel(16, conv_channels=(8,), fc_channels=(8, 8))
+    params = mdef.init(jax.random.PRNGKey(0))
+    return px.Model(mdef, params), g, mdef, params
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestDataParallel:
+    def test_sharded_outputs_match_single_device(self):
+        model, g, _, _ = _model_and_graph()
+        sampler = MaskSampler(24, g.n_pad, {"interpret_samples": 8, "epochs": 8}, None)
+        masks, _, _ = sampler.sample(jax.random.PRNGKey(1))
+        single = np.asarray(
+            model.perturbed_query_outputs(g, masks, "node_prediction", 3)
+        )
+        mesh = make_mesh(8)
+        sharded = np.asarray(
+            sharded_query_outputs(model, g, masks, "node_prediction", 3, mesh)
+        )
+        np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+    def test_training_step_shard_invariant(self):
+        model, g, _, _ = _model_and_graph()
+        sampler = MaskSampler(24, g.n_pad, {"interpret_samples": 8, "epochs": 8}, None)
+        masks, _, _ = sampler.sample(jax.random.PRNGKey(2))
+        step = explain_training_step(model, g, "node_prediction", 3, 24)
+        w0 = px.init_surrogate_weights(jax.random.PRNGKey(3), g.n_pad, 24)
+        z = jnp.zeros_like(w0)
+
+        w_a, _, _, _, loss_a = jax.jit(step)(w0, z, z, jnp.float32(0), masks)
+
+        mesh = make_mesh(8)
+        masks_s = shard_batch(masks, mesh)
+        w_b, _, _, _, loss_b = jax.jit(step)(w0, z, z, jnp.float32(0), masks_s)
+        np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(w_a), np.asarray(w_b), rtol=1e-4, atol=1e-7)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestTensorParallel:
+    def test_model_axis_sharded_forward_matches(self):
+        model, g, mdef, params = _model_and_graph()
+        mesh = make_mesh(8, axis_names=("data", "model"), shape=(4, 2))
+        params_tp = shard_params_model_axis(params, mesh)
+        model_tp = px.Model(mdef, params_tp)
+        base = np.asarray(model.infer(g))
+        tp = np.asarray(model_tp.infer(g))
+        np.testing.assert_allclose(tp, base, rtol=1e-5, atol=1e-6)
