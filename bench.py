@@ -1,15 +1,21 @@
-"""Headline benchmark: perturbation forwards/sec on the flagship workload.
+"""Headline benchmark: perturbation forwards/sec (the explainer hot loop).
 
-Workload (BASELINE.json config 3 scale): 2-layer GCN (hidden 128) on a
-100k-node / 1M-edge homogeneous graph; B perturbation masked forwards — the
-hot loop of every explanation (1000 such forwards per repeat at reference
-defaults, ``/root/reference/config/configs.json``).
+Primary workload — the shape every explanation actually runs (SURVEY §6):
+B = 1000 masked GCN forwards (reference default budget,
+``interpret_samples x epochs = 20 x 50``, ``/root/reference/config/
+configs.json``) on a 2-hop computational subgraph (2048 nodes / 16384 edges,
+hidden 128 x 2 layers), query-node output per perturbation.  Uses the fused
+ELL fast path (:mod:`bikg_graph_explainability_public_tpu.models.fast_gcn`).
 
-vs_baseline: same workload executed the reference's way — a torch-CPU
-block-diagonal "mega-graph" forward (``/root/reference/src/
-pathway_explanations/data.py:556-648``), extrapolated linearly in B (the
-reference has no published numbers; SURVEY §6).  The torch baseline is
-measured once and cached in ``.bench_baseline.json``.
+Secondary (extra JSON keys): full-graph masked forwards at BASELINE.json
+config-3 scale (100k nodes / 1M edges, B=64) — the graph-scale stress case.
+
+vs_baseline: the same primary workload executed the reference's way — a
+torch-CPU block-diagonal "mega-graph" GCN forward
+(``/root/reference/src/pathway_explanations/data.py:556-648``), measured at
+B=20 (one reference DataLoader batch) and extrapolated linearly.  The
+reference publishes no numbers of its own (SURVEY §6).  Cached in
+``.bench_baseline.json``.
 
 Prints ONE JSON line.
 """
@@ -22,136 +28,141 @@ import time
 
 import numpy as np
 
-N_NODES = 100_000
-N_EDGES = 1_000_000
-N_FEATS = 84
-HIDDEN = 128
-B_TOTAL = 64  # perturbation forwards timed on device
-CHUNK = 8
+# primary: subgraph-scale hot loop
+SUB_N, SUB_E, B_SUB = 2048, 16384, 1000
+# secondary: full-graph stress
+BIG_N, BIG_E, B_BIG, BIG_CHUNK = 100_000, 1_000_000, 64, 8
+N_FEATS, HIDDEN = 84, 128
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
 
 
-def make_workload(seed=0):
+def make_graph(n, e, seed=0):
     rng = np.random.default_rng(seed)
-    feat = rng.normal(size=(N_NODES, N_FEATS)).astype(np.float32)
-    ei = np.stack(
-        [rng.integers(0, N_NODES, N_EDGES), rng.integers(0, N_NODES, N_EDGES)]
-    ).astype(np.int64)
-    node_masks = (rng.random((B_TOTAL, N_NODES)) > 0.3).astype(np.float32)
-    return feat, ei, node_masks
+    feat = rng.normal(size=(n, N_FEATS)).astype(np.float32)
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)]).astype(np.int64)
+    return feat, ei
 
 
-def torch_megagraph_baseline(feat, ei, node_masks, b=2):
-    """Reference-style baseline: tile features b times, shift edge indices,
-    drop masked edges, one big scatter-add GCN forward on CPU (torch).
-    Returns forwards/sec (linear in b — each perturbation is an independent
-    block)."""
+def torch_megagraph_fps(feat, ei, node_masks, b):
+    """Reference-style torch-CPU mega-graph forward; forwards/sec."""
     import torch
 
+    n = feat.shape[0]
     with torch.no_grad():
         x = torch.tensor(feat)
         w1 = torch.randn(HIDDEN, N_FEATS) * 0.05
         w2 = torch.randn(HIDDEN, HIDDEN) * 0.05
-        src = torch.tensor(ei[0])
-        dst = torch.tensor(ei[1])
+        src_t = torch.tensor(ei[0])
+        dst_t = torch.tensor(ei[1])
 
         def forward(bb):
-            # build mega-graph edge list (reference data.py:424-425, 540-541)
             srcs, dsts = [], []
             for i in range(bb):
                 keep = torch.tensor(
                     (node_masks[i][ei[0]] > 0) & (node_masks[i][ei[1]] > 0)
                 )
-                srcs.append(src[keep] + i * N_NODES)
-                dsts.append(dst[keep] + i * N_NODES)
+                srcs.append(src_t[keep] + i * n)
+                dsts.append(dst_t[keep] + i * n)
             ms, md = torch.cat(srcs), torch.cat(dsts)
-            xx = x.repeat(bb, 1)
 
             def conv(h, w):
                 hw = h @ w.T
-                deg = torch.zeros(bb * N_NODES).scatter_add_(
+                deg = torch.zeros(bb * n).scatter_add_(
                     0, md, torch.ones_like(ms, dtype=torch.float32)
                 ) + 1.0
                 dis = deg.rsqrt()
                 msg = hw[ms] * (dis[ms] * dis[md]).unsqueeze(1)
-                out = torch.zeros(bb * N_NODES, w.shape[0]).scatter_add_(
+                out = torch.zeros(bb * n, w.shape[0]).scatter_add_(
                     0, md.unsqueeze(1).expand_as(msg), msg
                 )
                 return out + hw * (dis * dis).unsqueeze(1)
 
             h = torch.relu(conv(x.repeat(bb, 1), w1))
-            h = torch.relu(conv(h, w2))
-            return h
+            return torch.relu(conv(h, w2))
 
-        forward(1)  # warm up
+        forward(min(b, 2))  # warm up
         t0 = time.perf_counter()
         forward(b)
-        dt = time.perf_counter() - t0
-    return b / dt
+        return b / (time.perf_counter() - t0)
 
 
-def get_torch_baseline(feat, ei, node_masks):
+def get_baselines():
     if os.path.exists(BASELINE_CACHE):
         try:
             with open(BASELINE_CACHE) as f:
-                return json.load(f)["torch_cpu_forwards_per_sec"]
+                d = json.load(f)
+            if "sub_fps" in d and "big_fps" in d:
+                return d
         except Exception:
             pass
-    fps = torch_megagraph_baseline(feat, ei, node_masks)
+    rng = np.random.default_rng(1)
+    feat_s, ei_s = make_graph(SUB_N, SUB_E, seed=2)
+    masks_s = (rng.random((20, SUB_N)) > 0.3).astype(np.float32)
+    sub_fps = torch_megagraph_fps(feat_s, ei_s, masks_s, 20)
+    feat_b, ei_b = make_graph(BIG_N, BIG_E, seed=0)
+    masks_b = (rng.random((2, BIG_N)) > 0.3).astype(np.float32)
+    big_fps = torch_megagraph_fps(feat_b, ei_b, masks_b, 2)
+    d = {"sub_fps": sub_fps, "big_fps": big_fps}
     with open(BASELINE_CACHE, "w") as f:
-        json.dump({"torch_cpu_forwards_per_sec": fps}, f)
-    return fps
+        json.dump(d, f)
+    return d
 
 
-def main():
-    feat, ei, node_masks = make_workload()
-    baseline_fps = get_torch_baseline(feat, ei, node_masks)
+def _timeit(fn, *args, reps=3):
+    import jax
 
+    out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_masked_forwards(feat, ei, b_total, chunk, seed=3):
     import jax
     import jax.numpy as jnp
 
     import bikg_graph_explainability_public_tpu as px
+    from bikg_graph_explainability_public_tpu.models.fast_gcn import FastBatchedGCN
 
     g = px.from_arrays(feat, ei, pad_mode="exact")
     mdef = px.GCNNodeModel(
         N_FEATS, conv_channels=(HIDDEN, HIDDEN), fc_channels=(HIDDEN, 64)
     )
     params = mdef.init(jax.random.PRNGKey(0))
+    engine = FastBatchedGCN(mdef, params, g)
+    rng = np.random.default_rng(seed)
+    masks = jnp.asarray((rng.random((b_total, g.n_pad)) > 0.3))
     query = 17
 
-    base_ew = g.edge_mask.astype(jnp.float32)
-    snd, rcv = g.senders, g.receivers
-
-    def one(m):
-        ew = base_ew * m[snd] * m[rcv]
-        return mdef.apply_query(params, g.x, snd, rcv, ew, query)
-
     @jax.jit
-    def batch(masks):
-        chunks = masks.reshape(B_TOTAL // CHUNK, CHUNK, N_NODES)
-        return jax.lax.map(jax.vmap(one), chunks).reshape(B_TOTAL)
+    def run(masks):
+        return engine.query_outputs(masks, query, chunk_size=chunk)
 
-    masks = jnp.asarray(node_masks)
-    out = jax.block_until_ready(batch(masks))  # compile + warm up
+    dt = _timeit(run, masks)
+    return b_total / dt
 
-    reps = 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = batch(masks)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
 
-    fps = B_TOTAL / dt
-    edges_per_sec = fps * N_EDGES
+def main():
+    baselines = get_baselines()
+
+    import jax
+
+    sub_fps = bench_masked_forwards(*make_graph(SUB_N, SUB_E, seed=2), B_SUB, 250)
+    big_fps = bench_masked_forwards(*make_graph(BIG_N, BIG_E, seed=0), B_BIG, BIG_CHUNK)
+
     print(
         json.dumps(
             {
                 "metric": "perturb_forwards_per_sec",
-                "value": round(fps, 2),
+                "value": round(sub_fps, 2),
                 "unit": "forwards/s",
-                "vs_baseline": round(fps / baseline_fps, 2),
-                "edges_per_sec_per_chip": round(edges_per_sec, 0),
-                "workload": f"GCN-{HIDDEN}x2 {N_NODES}n/{N_EDGES}e B={B_TOTAL}",
+                "vs_baseline": round(sub_fps / baselines["sub_fps"], 2),
+                "workload": f"GCN-{HIDDEN}x2 subgraph {SUB_N}n/{SUB_E}e B={B_SUB}",
+                "fullgraph_forwards_per_sec": round(big_fps, 2),
+                "fullgraph_vs_baseline": round(big_fps / baselines["big_fps"], 2),
+                "fullgraph_edges_per_sec_per_chip": round(big_fps * BIG_E, 0),
                 "baseline": "torch-cpu mega-graph (reference style)",
                 "backend": jax.default_backend(),
             }

@@ -34,6 +34,8 @@ from .models.gnn import (
     hetero_gat_for_relations,
 )
 from .models.layers import GCNConv, GATConv, Linear
+from .compat import Data, Kernel, Mask, LinearRegression
+from .config import ExplainerConfig, load_config
 from .version import VERSION, get_version
 
 __version__ = VERSION
@@ -65,6 +67,12 @@ __all__ = [
     "GCNConv",
     "GATConv",
     "Linear",
+    "Data",
+    "Kernel",
+    "Mask",
+    "LinearRegression",
+    "ExplainerConfig",
+    "load_config",
     "VERSION",
     "get_version",
 ]

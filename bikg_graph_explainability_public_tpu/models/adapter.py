@@ -27,9 +27,12 @@ class Model:
     calling convention is declared by the model class itself.
     """
 
-    def __init__(self, model_def: Any, params: Any):
+    def __init__(self, model_def: Any, params: Any, fast: bool = True):
         self.model_def = model_def
         self.params = params
+        #: use the fused ELL fast path for GCNNodeModel batched forwards
+        self.fast = fast
+        self._fast_cache: tuple = (None, None)  # (graph id, engine)
 
     def get_hops(self, num_relations: int = 0) -> int:
         """Receptive-field depth.  The reference infers this by counting
@@ -83,6 +86,9 @@ class Model:
         Replaces: mega-graph tiling + edge-index shifting + strided output
         gather (``data.py:556-648``, ``model.py:294-328``) with a vmap.
         """
+        if self.fast and isinstance(self.model_def, GCNNodeModel):
+            engine = self._fast_engine(graph)
+            return engine.query_outputs(masks, query, problem, chunk_size)
         fwd = self.forward_fn(graph)
         base = graph.edge_mask.astype(graph.x.dtype)
         snd, rcv = graph.senders, graph.receivers
@@ -106,3 +112,21 @@ class Model:
             outs = jax.lax.map(jax.vmap(one), chunks)
             return outs.reshape(m_total)
         return jax.vmap(one)(masks)
+
+    def _fast_engine(self, graph: Graph):
+        from .fast_gcn import FastBatchedGCN
+
+        if self._fast_cache[0] is graph:
+            return self._fast_cache[1]
+        engine = FastBatchedGCN(self.model_def, self.params, graph)
+        # Only memoise outside jit traces — device constants created while
+        # tracing must not escape into later traces.
+        try:
+            from jax._src.core import trace_state_clean
+
+            clean = trace_state_clean()
+        except Exception:
+            clean = False
+        if clean:
+            self._fast_cache = (graph, engine)
+        return engine
