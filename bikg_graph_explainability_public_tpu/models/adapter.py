@@ -89,6 +89,15 @@ class Model:
         if self.fast and isinstance(self.model_def, GCNNodeModel):
             engine = self._fast_engine(graph)
             return engine.query_outputs(masks, query, problem, chunk_size)
+        if (
+            self.fast
+            and isinstance(self.model_def, HeteroGNN)
+            and "edge" not in problem
+            and graph.n_pad <= 4096
+        ):
+            engine = self._fast_hetero_engine(graph)
+            if engine is not None:
+                return engine.query_outputs(masks, query, problem, chunk_size)
         fwd = self.forward_fn(graph)
         base = graph.edge_mask.astype(graph.x.dtype)
         snd, rcv = graph.senders, graph.receivers
@@ -121,6 +130,25 @@ class Model:
         engine = FastBatchedGCN(self.model_def, self.params, graph)
         # Only memoise outside jit traces — device constants created while
         # tracing must not escape into later traces.
+        try:
+            from jax._src.core import trace_state_clean
+
+            clean = trace_state_clean()
+        except Exception:
+            clean = False
+        if clean:
+            self._fast_cache = (graph, engine)
+        return engine
+
+    def _fast_hetero_engine(self, graph: Graph):
+        from .fast_hetero import FastBatchedHeteroGCN
+
+        if self._fast_cache[0] is graph:
+            return self._fast_cache[1]
+        try:
+            engine = FastBatchedHeteroGCN(self.model_def, self.params, graph)
+        except TypeError:
+            return None  # non-GCNConv convs (e.g. GAT): generic path
         try:
             from jax._src.core import trace_state_clean
 

@@ -77,6 +77,7 @@ class FastBatchedGCN:
         graph,
         dtype=jnp.float32,
         mode: Optional[str] = None,
+        backend: str = "xla",
     ):
         import numpy as np
 
@@ -87,6 +88,7 @@ class FastBatchedGCN:
         if mode is None:
             mode = "dense" if graph.n_pad <= DENSE_THRESHOLD else "ell"
         self.mode = mode
+        self.backend = backend  # "xla" | "pallas" (dense mode only)
         # host-side precompute (numpy — no device compiles at init time)
         w0 = np.asarray(params["conv"][0]["weight"])
         x_np = np.asarray(graph.x)[:, : model_def.convs[0].in_features]
@@ -120,8 +122,10 @@ class FastBatchedGCN:
             "vu,bu->bv", a, m, preferred_element_type=jnp.float32
         )
         dis = jax.lax.rsqrt(deg)  # [B, N]
-        s = (m * dis).astype(self.dtype)  # [B, N]
         self_w = dis * dis  # [B, N] = 1/deg
+        if self.backend == "pallas":
+            return self._dense_outputs_pallas(m * dis, self_w)
+        s = (m * dis).astype(self.dtype)  # [B, N]
 
         def layer(feats_w, first: bool):
             # feats_w: [N, C] (first layer, batch-shared) or [B, N, C]
@@ -145,6 +149,31 @@ class FastBatchedGCN:
             if "bias" in p:
                 h = h + p["bias"]
             h = relu(h)
+        return h
+
+    def _dense_outputs_pallas(self, s: jax.Array, self_w: jax.Array) -> jax.Array:
+        """Fused Pallas path: one kernel launch per conv layer
+        (:mod:`..ops.pallas_gcn`)."""
+        from ..ops.pallas_gcn import masked_gcn_layer, masked_gcn_layer_batched
+
+        adj16 = self.adj.astype(jnp.bfloat16)
+        c1 = self.xw0.shape[1]
+        p0 = self.params["conv"][0]
+        b0 = p0.get("bias", jnp.zeros((c1,), jnp.float32))
+        h = masked_gcn_layer(
+            adj16, self.xw0.astype(jnp.float32), s, self_w, b0, apply_relu=True
+        )
+        for conv, p in zip(self.model_def.convs[1:], self.params["conv"][1:]):
+            bias = p.get("bias", jnp.zeros((p["weight"].shape[0],), jnp.float32))
+            h = masked_gcn_layer_batched(
+                adj16,
+                h[..., : conv.in_features],
+                p["weight"].T,
+                s,
+                self_w,
+                bias,
+                apply_relu=True,
+            )
         return h
 
     def batch_node_outputs(self, masks: jax.Array, is_edge: bool = False) -> jax.Array:

@@ -1,0 +1,196 @@
+"""Pallas TPU kernel: fused dense masked-batched GCN layer.
+
+The hot op of the explainer (see :mod:`..models.fast_gcn`): for a batch of
+perturbation scalings ``s_b = m_b * deg_b^-1/2`` over one dense subgraph
+adjacency ``A``,
+
+    H[b] = relu( diag(s_b) . A . (diag(s_b) XW)  +  diag(selfw_b) XW  + bias )
+
+XLA evaluates this as a batched GEMM plus separate elementwise passes,
+re-reading ``A`` and materialising the scaled operand per sample.  This kernel
+fuses the rank-1 mask scalings, the self-loop term, bias and ReLU into the
+matmul pipeline and keeps the scaled operand for a whole sample-tile resident
+in VMEM:
+
+  grid = (B/TB, N/TN), sequential on core; at each new sample-tile
+  (n-index 0) the scaled operand ``diag(s_b) XW`` for TB samples is computed
+  once into scratch; every n-step then runs TB MXU matmuls
+  ``A[tile, :] @ scaled[t]`` against that scratch.
+
+Layouts: A in bf16 (halves HBM traffic), scaled operand bf16, accumulation
+f32 (``preferred_element_type``).
+
+Used via :func:`masked_gcn_layer` (shared first-layer operand) and
+:func:`masked_gcn_layer_batched` (per-sample operand, layers >= 2).
+Falls back to interpreter mode off-TPU so tests run on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tile(n: int, target: int) -> int:
+    """Largest divisor of n that is <= target (bounds VMEM block sizes)."""
+    for t in range(min(target, n), 0, -1):
+        if n % t == 0:
+            return t
+    return 1
+
+
+def _pad_batch(b: int, multiple: int = 8) -> int:
+    """TPU Pallas block sublanes must divide by 8; the batch pads up."""
+    return ((b + multiple - 1) // multiple) * multiple
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _layer_kernel_shared(
+    s_ref, selfw_ref, adj_ref, xw_ref, bias_ref, out_ref, scaled, *, tb, tn, apply_relu
+):
+    i_n = pl.program_id(1)
+
+    @pl.when(i_n == 0)
+    def _():
+        for t in range(tb):
+            scaled[t] = (s_ref[t, :][:, None] * xw_ref[:]).astype(jnp.bfloat16)
+
+    a = adj_ref[:]  # [TN, N] bf16
+    base = i_n * tn
+    xw_tile = xw_ref[pl.ds(base, tn), :]  # [TN, C]
+    for t in range(tb):
+        acc = jnp.dot(a, scaled[t], preferred_element_type=jnp.float32)  # [TN, C]
+        s_tile = s_ref[t, pl.ds(base, tn)]
+        res = (
+            s_tile[:, None] * acc
+            + selfw_ref[t, pl.ds(base, tn)][:, None] * xw_tile
+            + bias_ref[0]
+        )
+        out_ref[t] = jnp.maximum(res, 0.0) if apply_relu else res
+
+
+def _layer_kernel_batched(
+    s_ref, selfw_ref, adj_ref, h_ref, w_ref, bias_ref, out_ref, hw_scratch,
+    *, tb, tn, apply_relu
+):
+    i_n = pl.program_id(1)
+
+    @pl.when(i_n == 0)
+    def _():
+        for t in range(tb):
+            hw_scratch[t] = jnp.dot(
+                h_ref[t], w_ref[:], preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)
+
+    a = adj_ref[:]
+    base = i_n * tn
+    for t in range(tb):
+        scaled_t = (s_ref[t, :][:, None] * hw_scratch[t]).astype(jnp.bfloat16)
+        acc = jnp.dot(a, scaled_t, preferred_element_type=jnp.float32)
+        s_tile = s_ref[t, pl.ds(base, tn)]
+        hw_tile = hw_scratch[t, pl.ds(base, tn), :].astype(jnp.float32)
+        res = (
+            s_tile[:, None] * acc
+            + selfw_ref[t, pl.ds(base, tn)][:, None] * hw_tile
+            + bias_ref[0]
+        )
+        out_ref[t] = jnp.maximum(res, 0.0) if apply_relu else res
+
+
+@functools.partial(jax.jit, static_argnames=("apply_relu",))
+def masked_gcn_layer(
+    adj_bf16: jax.Array,  # [N, N] bf16
+    xw: jax.Array,  # [N, C] f32 (batch-shared operand)
+    s: jax.Array,  # [B, N] f32
+    self_w: jax.Array,  # [B, N] f32
+    bias: jax.Array,  # [C] f32
+    apply_relu: bool = True,
+) -> jax.Array:  # [B, N, C] f32
+    b0, n = s.shape
+    c = xw.shape[1]
+    b = _pad_batch(b0)
+    if b != b0:
+        s = jnp.pad(s, ((0, b - b0), (0, 0)))
+        self_w = jnp.pad(self_w, ((0, b - b0), (0, 0)))
+    tb = 8 if b % 8 == 0 else _pick_tile(b, 8)
+    tn = _pick_tile(n, 256)
+    grid = (b // tb, n // tn)
+    kernel = functools.partial(
+        _layer_kernel_shared, tb=tb, tn=tn, apply_relu=apply_relu
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, n), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, n), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tb, tn, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tb, n, c), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_interpret(),
+    )(s, self_w, adj_bf16, xw, bias.reshape(1, c))
+    return out[:b0]
+
+
+@functools.partial(jax.jit, static_argnames=("apply_relu",))
+def masked_gcn_layer_batched(
+    adj_bf16: jax.Array,  # [N, N] bf16
+    h: jax.Array,  # [B, N, C_in] f32 (per-sample features)
+    w_t: jax.Array,  # [C_in, C] f32 (weight, already transposed)
+    s: jax.Array,  # [B, N] f32
+    self_w: jax.Array,  # [B, N] f32
+    bias: jax.Array,  # [C] f32
+    apply_relu: bool = True,
+) -> jax.Array:
+    b0, n = s.shape
+    c_in, c = w_t.shape
+    b = _pad_batch(b0)
+    if b != b0:
+        s = jnp.pad(s, ((0, b - b0), (0, 0)))
+        self_w = jnp.pad(self_w, ((0, b - b0), (0, 0)))
+        h = jnp.pad(h, ((0, b - b0), (0, 0), (0, 0)))
+    tb = 8 if b % 8 == 0 else _pick_tile(b, 8)
+    tn = _pick_tile(n, 256)
+    grid = (b // tb, n // tn)
+    kernel = functools.partial(
+        _layer_kernel_batched, tb=tb, tn=tn, apply_relu=apply_relu
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tb, n), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, n), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, n, c_in), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_in, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tb, tn, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tb, n, c), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_interpret(),
+    )(s, self_w, adj_bf16, h, w_t, bias.reshape(1, c))
+    return out[:b0]

@@ -1,0 +1,100 @@
+"""Hetero fast (dense per-relation) path must match the generic COO path."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+import bikg_graph_explainability_public_tpu as px
+from bikg_graph_explainability_public_tpu.explain.masks import MaskSampler
+from bikg_graph_explainability_public_tpu.graph import hetero_to_homo
+from bikg_graph_explainability_public_tpu.models.fast_hetero import FastBatchedHeteroGCN
+from bikg_graph_explainability_public_tpu.models.torch_import import (
+    hetero_gcn_params,
+    hetero_relations_from_state_dict,
+    load_state_dict,
+)
+
+HETERO_CKPT = "/root/reference/test_data/gcn_hetero_1hop_lungCancer.pth.tar"
+
+
+def _two_type_setup(seed=80, conv_channels=(6,)):
+    rng = np.random.default_rng(seed)
+    feat = {
+        "a": rng.normal(size=(9, 5)).astype(np.float32),
+        "b": rng.normal(size=(7, 5)).astype(np.float32),
+    }
+    relations = [("a", "r1", "b"), ("b", "r2", "a"), ("a", "r3", "a")]
+    ei = {
+        ("a", "r1", "b"): np.stack([rng.integers(0, 9, 12), rng.integers(0, 7, 12)]),
+        ("b", "r2", "a"): np.stack([rng.integers(0, 7, 10), rng.integers(0, 9, 10)]),
+        ("a", "r3", "a"): np.stack([rng.integers(0, 9, 8), rng.integers(0, 9, 8)]),
+    }
+    g, info = hetero_to_homo(feat, ei)
+    mdef = px.hetero_gcn_for_relations(
+        ["a", "b"], relations, in_features=5,
+        conv_channels=conv_channels, fc_channels=(conv_channels[-1], 4),
+    )
+    params = mdef.init(jax.random.PRNGKey(seed))
+    return g, mdef, params
+
+
+class TestFastHeteroParity:
+    def _compare(self, g, mdef, params, problem="node_prediction", query=3, seed=0):
+        slow = px.Model(mdef, params, fast=False)
+        sampler = MaskSampler(
+            g.num_nodes, g.n_pad, {"interpret_samples": 16, "epochs": 4}, None
+        )
+        masks, _, _ = sampler.sample(jax.random.PRNGKey(seed))
+        q = None if "graph" in problem else query
+        a = np.asarray(slow.perturbed_query_outputs(g, masks, problem, q))
+        eng = FastBatchedHeteroGCN(mdef, params, g)
+        b = np.asarray(eng.query_outputs(masks, q, problem))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+        # and via the adapter dispatch
+        fast = px.Model(mdef, params, fast=True)
+        c = np.asarray(fast.perturbed_query_outputs(g, masks, problem, q))
+        np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
+
+    def test_two_type_one_layer(self):
+        g, mdef, params = _two_type_setup()
+        self._compare(g, mdef, params)
+
+    def test_two_type_two_layers(self):
+        g, mdef, params = _two_type_setup(seed=81, conv_channels=(6, 6))
+        self._compare(g, mdef, params, seed=1)
+
+    def test_graph_problem(self):
+        g, mdef, params = _two_type_setup(seed=82)
+        self._compare(g, mdef, params, problem="graph_prediction", seed=2)
+
+    @pytest.mark.skipif(not os.path.exists(HETERO_CKPT), reason="checkpoint absent")
+    def test_trained_checkpoint(self):
+        rng = np.random.default_rng(83)
+        sd = load_state_dict(HETERO_CKPT)
+        rels = hetero_relations_from_state_dict(sd)
+        mdef = px.hetero_gcn_for_relations(["gene"], rels, 84)
+        params = hetero_gcn_params(sd)
+        feat = {"gene": rng.normal(size=(16, 84)).astype(np.float32)}
+        ei = {r: np.stack([rng.integers(0, 16, 20), rng.integers(0, 16, 20)]) for r in rels}
+        g, _ = hetero_to_homo(feat, ei)
+        self._compare(g, mdef, params, query=5, seed=3)
+
+    def test_gat_falls_back(self):
+        rng = np.random.default_rng(84)
+        feat = {"a": rng.normal(size=(6, 4)).astype(np.float32)}
+        rels = [("a", "r", "a")]
+        ei = {("a", "r", "a"): np.stack([rng.integers(0, 6, 8), rng.integers(0, 6, 8)])}
+        g, _ = hetero_to_homo(feat, ei)
+        mdef = px.hetero_gat_for_relations(["a"], rels, 4, conv_channels=(3,), fc_channels=(3, 3))
+        params = mdef.init(jax.random.PRNGKey(84))
+        with pytest.raises(TypeError):
+            FastBatchedHeteroGCN(mdef, params, g)
+        # adapter silently uses the generic path
+        sampler = MaskSampler(6, g.n_pad, {"interpret_samples": 4, "epochs": 2}, None)
+        masks, _, _ = sampler.sample(jax.random.PRNGKey(84))
+        out = px.Model(mdef, params).perturbed_query_outputs(
+            g, masks, "node_prediction", 1
+        )
+        assert np.isfinite(np.asarray(out)).all()

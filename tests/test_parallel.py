@@ -60,6 +60,51 @@ class TestDataParallel:
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestEdgePartition:
+    def test_partitioned_gather_sum_matches(self):
+        from bikg_graph_explainability_public_tpu.parallel.edge_partition import (
+            partitioned_gather_sum,
+        )
+
+        rng = np.random.default_rng(0)
+        n, e, f = 40, 64, 6  # e divisible by 8 devices
+        feats = jnp.asarray(rng.normal(size=(n, f)).astype(np.float32))
+        snd = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+        rcv = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+        ew = jnp.asarray(rng.random(e).astype(np.float32))
+        want = np.asarray(
+            jax.ops.segment_sum(ew[:, None] * feats[snd], rcv, num_segments=n)
+        )
+        mesh = make_mesh(8)
+        got = np.asarray(partitioned_gather_sum(ew, feats, snd, rcv, mesh))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_partitioned_gcn_forward_matches_single_chip(self):
+        from bikg_graph_explainability_public_tpu.parallel.edge_partition import (
+            partitioned_gcn_forward,
+        )
+
+        feat, ei, _ = make_graph(n=24, f=16, e=64, seed=41)
+        g = from_arrays(feat, ei, edge_budget=64)
+        mdef = px.GCNNodeModel(16, conv_channels=(8, 8), fc_channels=(8, 8))
+        params = mdef.init(jax.random.PRNGKey(4))
+        base = np.asarray(px.Model(mdef, params).infer(g))
+        mesh = make_mesh(8)
+        got = np.asarray(
+            partitioned_gcn_forward(
+                mdef,
+                params,
+                g.x,
+                g.senders,
+                g.receivers,
+                g.edge_mask.astype(jnp.float32),
+                mesh,
+            )
+        )
+        np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 class TestTensorParallel:
     def test_model_axis_sharded_forward_matches(self):
         model, g, mdef, params = _model_and_graph()
