@@ -167,6 +167,37 @@ class Explainer:
                     "in heterogeneous graph"
                 )
 
+    def _query_index(self, element, names, hetero_info) -> int:
+        """Global index of the query element.
+
+        For heterogeneous node queries with an ``element_type``, the lookup is
+        restricted to that type's block (names may repeat across types) and
+        offset by the block pointer — the role of the reference's
+        ``filter_hetero_names`` (``explainer.py:228-286``), expressed on the
+        homogenised index space.
+        """
+        if (
+            hetero_info is not None
+            and isinstance(self.element_type, str)
+            and "node" in self.problem
+        ):
+            t = hetero_info.node_type_names.index(self.element_type)
+            start = hetero_info.node_pointers[t]
+            count = hetero_info.node_counts[t]
+            local = extract_index(element, names[start : start + count])
+            return start + local
+        if (
+            hetero_info is not None
+            and isinstance(self.element_type, tuple)
+            and "edge" in self.problem
+        ):
+            t = hetero_info.edge_type_names.index(self.element_type)
+            start = hetero_info.edge_pointers[t]
+            count = hetero_info.edge_counts[t]
+            local = extract_index(element, names[start : start + count])
+            return start + local
+        return extract_index(element, names)
+
     # ------------------------------------------------------------------
     def _prepare_graph(self):
         """Homogenise (if hetero) and build the padded device graph."""
@@ -182,12 +213,17 @@ class Explainer:
         )
         return graph, None, self.names
 
-    def run(self, element, times: int = 1) -> Tuple[pd.DataFrame, Optional[pd.DataFrame]]:
+    def run(
+        self, element, times: int = 1, return_diagnostics: bool = False
+    ) -> Tuple[pd.DataFrame, Optional[pd.DataFrame]]:
         """Explain one node/edge/graph prediction.
 
         Returns (config_val_df, pathway_df) — element scores and
         community-aggregated scores, both sorted descending (reference
-        ``explainer.py:316-546``).
+        ``explainer.py:316-546``).  With ``return_diagnostics=True`` a third
+        dict is returned with per-repeat losses / best epochs and phase
+        timings (the reference computes losses but discards them,
+        ``explainer.py:502``).
         """
         graph, hetero_info, names = self._prepare_graph()
 
@@ -206,7 +242,7 @@ class Explainer:
         if "graph" not in self.problem:
             relations = hetero_info.num_relations if hetero_info else 0
             n_hops = self.model.get_hops(relations)
-            ind = extract_index(element, names)
+            ind = self._query_index(element, names, hetero_info)
             # one extra hop, mirroring the reference (data.py:328)
             sub = extract_khop_subgraph(graph, ind, n_hops + 1)
             sub_graph = sub.graph
@@ -245,23 +281,33 @@ class Explainer:
         query = None if "graph" in self.problem else int(sub_query)
         seed = int(self.params.get("seed", 0))
 
+        from ..utils.profiling import PhaseTimer
+
+        timer = PhaseTimer()
         config_vals: List[np.ndarray] = []
+        diag: Dict[str, Any] = {"losses": [], "best_epoch": []}
         for i in range(times):
             key = repeat_key(seed, i)
             k_mask, k_init = jax.random.split(key)
-            mask, _tags, batch_size = sampler.sample(k_mask)
-            result = train_model(
-                mask,
-                self.model,
-                sub_graph,
-                self.params,
-                self.problem,
-                query,
-                elements,
-                batch_size,
-                k_init,
-            )
-            config_vals.append(np.asarray(result.weights)[:elements])
+            with timer.phase("mask_sampling"):
+                mask, _tags, batch_size = sampler.sample(k_mask)
+            with timer.phase("surrogate_training"):
+                result = train_model(
+                    mask,
+                    self.model,
+                    sub_graph,
+                    self.params,
+                    self.problem,
+                    query,
+                    elements,
+                    batch_size,
+                    k_init,
+                )
+                weights = np.asarray(result.weights)[:elements]
+            config_vals.append(weights)
+            if return_diagnostics:
+                diag["losses"].append(np.asarray(result.losses))
+                diag["best_epoch"].append(int(result.best_epoch))
 
         mean_cv, std_cv = weight_stacking(config_vals)
         config_val_df = config_val_dataframe(mean_cv, std_cv, sub_names)
@@ -270,4 +316,10 @@ class Explainer:
         if pathways is not None:
             pathway_df = sub_pclass.aggregate(mean_cv, sub_pathway_inds)
 
+        if return_diagnostics:
+            diag["phase_seconds"] = dict(timer.totals)
+            diag["num_elements"] = elements
+            diag["subgraph_nodes"] = sub_graph.num_nodes
+            diag["subgraph_edges"] = sub_graph.num_edges
+            return config_val_df, pathway_df, diag
         return config_val_df, pathway_df

@@ -176,14 +176,21 @@ class FastBatchedGCN:
             )
         return h
 
-    def batch_node_outputs(self, masks: jax.Array, is_edge: bool = False) -> jax.Array:
-        """Per-node backbone outputs for a chunk of masks: [B, N, C_last]."""
+    def batch_node_outputs(
+        self, masks: jax.Array, is_edge: bool = False, g0: Optional[jax.Array] = None
+    ) -> jax.Array:
+        """Per-node backbone outputs for a chunk of masks: [B, N, C_last].
+
+        ``g0``: the batch-shared first-layer gather ``xw0[nbr]`` — pass it in
+        when calling from inside a scan/map body so the (expensive) gather is
+        computed once outside the loop rather than per chunk."""
         if self.mode == "dense" and not is_edge:
             return self._dense_outputs(masks)
         coeff, self_w = self._coeffs(masks, is_edge)  # [B,N,K], [B,N]
         coeff = coeff.astype(self.dtype)
         p0 = self.params["conv"][0]
-        g0 = self.xw0[self.table.nbr]  # in-trace: hoisted once per program
+        if g0 is None:
+            g0 = self.xw0[self.table.nbr]
         h = ell_aggregate_shared(coeff, g0)
         h = h + self_w[:, :, None] * self.xw0.astype(jnp.float32)
         if "bias" in p0:
@@ -228,9 +235,11 @@ class FastBatchedGCN:
         is_edge = "edge" in problem
         is_graph = "graph" in problem
         nvalid = self.graph.node_mask.astype(jnp.float32)
+        # hoist the batch-shared gather OUT of the chunk loop
+        g0 = self.xw0[self.table.nbr] if self.mode != "dense" else None
 
         def run_chunk(mchunk):
-            h = self.batch_node_outputs(mchunk, is_edge)
+            h = self.batch_node_outputs(mchunk, is_edge, g0=g0)
             if is_graph:
                 out = self.model_def.head(self.params, h)  # [b, N, out]
                 s = (out[..., 0] * nvalid).sum(-1) / jnp.maximum(nvalid.sum(), 1.0)

@@ -54,23 +54,27 @@ def _interpret() -> bool:
 
 
 def _layer_kernel_shared(
-    s_ref, selfw_ref, adj_ref, xw_ref, bias_ref, out_ref, scaled, *, tb, tn, apply_relu
+    s_ref, selfw_ref, adj_ref, xw_ref, bias_ref, out_ref, scaled, *, tb, tn, c, apply_relu
 ):
+    """scaled scratch layout: [N, TB*C] — the whole sample-tile's scaled
+    operands side by side, so each grid step is ONE wide MXU matmul
+    [TN, N] @ [N, TB*C] instead of TB narrow ones."""
     i_n = pl.program_id(1)
 
     @pl.when(i_n == 0)
     def _():
         for t in range(tb):
-            scaled[t] = (s_ref[t, :][:, None] * xw_ref[:]).astype(jnp.bfloat16)
+            scaled[:, t * c : (t + 1) * c] = (
+                s_ref[t, :][:, None] * xw_ref[:]
+            ).astype(jnp.bfloat16)
 
-    a = adj_ref[:]  # [TN, N] bf16
+    acc = jnp.dot(adj_ref[:], scaled[:], preferred_element_type=jnp.float32)
     base = i_n * tn
     xw_tile = xw_ref[pl.ds(base, tn), :]  # [TN, C]
     for t in range(tb):
-        acc = jnp.dot(a, scaled[t], preferred_element_type=jnp.float32)  # [TN, C]
         s_tile = s_ref[t, pl.ds(base, tn)]
         res = (
-            s_tile[:, None] * acc
+            s_tile[:, None] * acc[:, t * c : (t + 1) * c]
             + selfw_ref[t, pl.ds(base, tn)][:, None] * xw_tile
             + bias_ref[0]
         )
@@ -78,27 +82,33 @@ def _layer_kernel_shared(
 
 
 def _layer_kernel_batched(
-    s_ref, selfw_ref, adj_ref, h_ref, w_ref, bias_ref, out_ref, hw_scratch,
-    *, tb, tn, apply_relu
+    s_ref, selfw_ref, adj_ref, h_ref, w_ref, bias_ref, out_ref, scaled,
+    *, tb, tn, c, apply_relu
 ):
+    """Per-sample operand variant: at each new sample-tile the per-sample
+    transform + mask scaling ``s_t * (h_t W)`` is computed once into the wide
+    [N, TB*C] scratch; the self-loop term recomputes the [TN, C] tile of
+    ``h_t W`` per step (<=6% extra FLOPs, saves a second scratch buffer)."""
     i_n = pl.program_id(1)
 
     @pl.when(i_n == 0)
     def _():
         for t in range(tb):
-            hw_scratch[t] = jnp.dot(
-                h_ref[t], w_ref[:], preferred_element_type=jnp.float32
+            hw_t = jnp.dot(h_ref[t], w_ref[:], preferred_element_type=jnp.float32)
+            scaled[:, t * c : (t + 1) * c] = (
+                s_ref[t, :][:, None] * hw_t
             ).astype(jnp.bfloat16)
 
-    a = adj_ref[:]
+    acc = jnp.dot(adj_ref[:], scaled[:], preferred_element_type=jnp.float32)
     base = i_n * tn
     for t in range(tb):
-        scaled_t = (s_ref[t, :][:, None] * hw_scratch[t]).astype(jnp.bfloat16)
-        acc = jnp.dot(a, scaled_t, preferred_element_type=jnp.float32)
+        hw_tile = jnp.dot(
+            h_ref[t, pl.ds(base, tn), :], w_ref[:],
+            preferred_element_type=jnp.float32,
+        )
         s_tile = s_ref[t, pl.ds(base, tn)]
-        hw_tile = hw_scratch[t, pl.ds(base, tn), :].astype(jnp.float32)
         res = (
-            s_tile[:, None] * acc
+            s_tile[:, None] * acc[:, t * c : (t + 1) * c]
             + selfw_ref[t, pl.ds(base, tn)][:, None] * hw_tile
             + bias_ref[0]
         )
@@ -124,7 +134,7 @@ def masked_gcn_layer(
     tn = _pick_tile(n, 256)
     grid = (b // tb, n // tn)
     kernel = functools.partial(
-        _layer_kernel_shared, tb=tb, tn=tn, apply_relu=apply_relu
+        _layer_kernel_shared, tb=tb, tn=tn, c=c, apply_relu=apply_relu
     )
     out = pl.pallas_call(
         kernel,
@@ -140,7 +150,7 @@ def masked_gcn_layer(
             (tb, tn, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tb, n, c), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((n, tb * c), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
@@ -170,7 +180,7 @@ def masked_gcn_layer_batched(
     tn = _pick_tile(n, 256)
     grid = (b // tb, n // tn)
     kernel = functools.partial(
-        _layer_kernel_batched, tb=tb, tn=tn, apply_relu=apply_relu
+        _layer_kernel_batched, tb=tb, tn=tn, c=c, apply_relu=apply_relu
     )
     out = pl.pallas_call(
         kernel,
@@ -187,7 +197,7 @@ def masked_gcn_layer_batched(
             (tb, tn, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((b, n, c), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((tb, n, c), jnp.bfloat16)],
+        scratch_shapes=[pltpu.VMEM((n, tb * c), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),

@@ -125,6 +125,67 @@ class TestRun:
         assert len(cv_df) == 36
 
 
+@pytest.mark.skipif(not os.path.exists(HOMO_CKPT), reason="checkpoint absent")
+class TestDiagnostics:
+    def test_return_diagnostics(self):
+        feat, ei, names = make_graph(n=36, f=84, e=116, seed=0)
+        sd = load_state_dict(HOMO_CKPT)
+        model = px.Model(px.GCNNodeModel(84), gcn_node_model_params(sd))
+        ex = px.Explainer(feat, ei, model, CONFIG, names)
+        cv, pw, diag = ex.run("10", times=2, return_diagnostics=True)
+        assert len(diag["losses"]) == 2
+        assert all(np.isfinite(l).all() for l in diag["losses"])
+        assert diag["subgraph_nodes"] == len(cv)
+        assert "surrogate_training" in diag["phase_seconds"]
+
+
+class TestHeteroQueryIndex:
+    def test_duplicate_names_across_types(self):
+        """Names repeating across node types must resolve within the
+        element_type's block (the reference's filter_hetero_names role)."""
+        rng = np.random.default_rng(90)
+        feat = {
+            "a": rng.normal(size=(5, 4)).astype(np.float32),
+            "b": rng.normal(size=(5, 4)).astype(np.float32),
+        }
+        rels = [("a", "r", "b"), ("b", "q", "a")]
+        ei = {
+            ("a", "r", "b"): np.stack([rng.integers(0, 5, 8), rng.integers(0, 5, 8)]),
+            ("b", "q", "a"): np.stack([rng.integers(0, 5, 8), rng.integers(0, 5, 8)]),
+        }
+        # SAME names in both blocks
+        names = {"a": [f"n{i}" for i in range(5)], "b": [f"n{i}" for i in range(5)]}
+        mdef = px.hetero_gcn_for_relations(
+            ["a", "b"], rels, 4, conv_channels=(3,), fc_channels=(3, 3)
+        )
+        params = mdef.init(jax.random.PRNGKey(90))
+        model = px.Model(mdef, params)
+
+        ex_b = px.Explainer(
+            feat, ei, model, CONFIG, names,
+            problem="node_prediction", element_type="b",
+        )
+        idx = ex_b._query_index(
+            "n2",
+            [f"n{i}" for i in range(5)] + [f"n{i}" for i in range(5)],
+            __import__(
+                "bikg_graph_explainability_public_tpu.graph", fromlist=["HeteroInfo"]
+            ).HeteroInfo(
+                node_type_names=["a", "b"],
+                edge_type_names=rels,
+                node_pointers=[0, 5],
+                edge_pointers=[0, 8],
+                padded_dims=[0, 0],
+                node_counts=[5, 5],
+                edge_counts=[8, 8],
+            ),
+        )
+        assert idx == 7  # block "b" starts at 5, local index 2
+
+
+import jax  # noqa: E402
+
+
 @pytest.mark.skipif(not os.path.exists(HETERO_CKPT), reason="checkpoint absent")
 class TestRunHetero:
     def test_run_hetero_trained(self):
