@@ -26,8 +26,19 @@ import sys
 import numpy as np
 
 
+def _fail(msg: str) -> "NoReturn":  # noqa: F821
+    print(f"error: {msg}", file=sys.stderr)
+    raise SystemExit(2)
+
+
 def _load_graph(path: str):
+    import os
+
+    if not os.path.exists(path):
+        _fail(f"graph file not found: {path}")
     data = np.load(path, allow_pickle=True)
+    if "feat" not in data or "edge_index" not in data:
+        _fail(f"{path} must contain 'feat' and 'edge_index' arrays")
     feat = data["feat"]
     edge_index = data["edge_index"]
     if "names" in data:
@@ -38,27 +49,57 @@ def _load_graph(path: str):
 
 
 def cmd_explain(args: argparse.Namespace) -> int:
+    import os
+
     import bikg_graph_explainability_public_tpu as px
     from .config import DEFAULTS, load_config
-    from .models.torch_import import gcn_node_model_params, load_state_dict
+    from .models.torch_import import (
+        gcn_node_model_params,
+        hetero_gcn_params,
+        hetero_relations_from_state_dict,
+        load_state_dict,
+    )
 
     feat, edge_index, names = _load_graph(args.graph)
     cfg = load_config(args.config) if args.config else load_config(dict(DEFAULTS))
 
+    if not os.path.exists(args.checkpoint):
+        _fail(f"checkpoint not found: {args.checkpoint}")
     sd = load_state_dict(args.checkpoint)
-    params = gcn_node_model_params(sd)
-    in_features = params["conv"][0]["weight"].shape[1]
-    conv_channels = tuple(p["weight"].shape[0] for p in params["conv"])
-    fc_channels = tuple(p["weight"].shape[1] for p in params["fc"])
-    model = px.Model(
-        px.GCNNodeModel(
-            in_features,
-            conv_channels=conv_channels,
-            fc_channels=fc_channels,
-            out_features=params["fc"][-1]["weight"].shape[0],
-        ),
-        params,
-    )
+    if any(k.startswith("conv.0.convs.") for k in sd):
+        # HeteroConv-of-GCNConv checkpoint — infer the relation set from keys
+        relations = hetero_relations_from_state_dict(sd)
+        params = hetero_gcn_params(sd)
+        first = next(iter(params["conv"][0].values()))
+        node_types = sorted({r[0] for r in relations} | {r[-1] for r in relations})
+        model = px.Model(
+            px.hetero_gcn_for_relations(
+                node_types,
+                relations,
+                in_features=first["weight"].shape[1],
+                conv_channels=tuple(
+                    next(iter(layer.values()))["weight"].shape[0]
+                    for layer in params["conv"]
+                ),
+                fc_channels=tuple(p["weight"].shape[1] for p in params["fc"]),
+                out_features=params["fc"][-1]["weight"].shape[0],
+            ),
+            params,
+        )
+    else:
+        params = gcn_node_model_params(sd)
+        in_features = params["conv"][0]["weight"].shape[1]
+        conv_channels = tuple(p["weight"].shape[0] for p in params["conv"])
+        fc_channels = tuple(p["weight"].shape[1] for p in params["fc"])
+        model = px.Model(
+            px.GCNNodeModel(
+                in_features,
+                conv_channels=conv_channels,
+                fc_channels=fc_channels,
+                out_features=params["fc"][-1]["weight"].shape[0],
+            ),
+            params,
+        )
 
     pathways = pathway_names = None
     if args.pathways:
