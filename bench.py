@@ -144,6 +144,31 @@ def bench_masked_forwards(feat, ei, b_total, chunk, seed=3):
     return b_total / dt
 
 
+def bench_explanations_per_sec(n=20_000, e=160_000, q=16, seed=5):
+    """End-to-end explanations/sec: Q full node explanations (subgraph
+    extraction + 1000 masked forwards + surrogate training each) via the
+    vmapped multi-query path."""
+    import jax
+
+    import bikg_graph_explainability_public_tpu as px
+
+    rng = np.random.default_rng(seed)
+    feat = rng.normal(size=(n, N_FEATS)).astype(np.float32)
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)]).astype(np.int64)
+    g = px.from_arrays(feat, ei, pad_mode="exact")
+    mdef = px.GCNNodeModel(N_FEATS, conv_channels=(HIDDEN,), fc_channels=(HIDDEN, 64))
+    params = mdef.init(jax.random.PRNGKey(0))
+    model = px.Model(mdef, params)
+    cfg = {"seed": 1, "interpret_samples": 20, "epochs": 50, "lr": 0.01,
+           "l1_lambda": 1e-4}
+    queries = list(rng.integers(0, n, q))
+    px.explain_many(model, g, queries, cfg)  # warm up / compile
+    t0 = time.perf_counter()
+    px.explain_many(model, g, queries, cfg)
+    dt = time.perf_counter() - t0
+    return q / dt
+
+
 def main():
     baselines = get_baselines()
 
@@ -151,6 +176,7 @@ def main():
 
     sub_fps = bench_masked_forwards(*make_graph(SUB_N, SUB_E, seed=2), B_SUB, 250)
     big_fps = bench_masked_forwards(*make_graph(BIG_N, BIG_E, seed=0), B_BIG, BIG_CHUNK)
+    eps = bench_explanations_per_sec()
 
     print(
         json.dumps(
@@ -163,6 +189,7 @@ def main():
                 "fullgraph_forwards_per_sec": round(big_fps, 2),
                 "fullgraph_vs_baseline": round(big_fps / baselines["big_fps"], 2),
                 "fullgraph_edges_per_sec_per_chip": round(big_fps * BIG_E, 0),
+                "explanations_per_sec": round(eps, 3),
                 "baseline": "torch-cpu mega-graph (reference style)",
                 "backend": jax.default_backend(),
             }

@@ -22,6 +22,7 @@ from .graph import (
     element_size,
 )
 from .explain.explainer import Explainer, extract_index, set_seed, weight_stacking
+from .explain.batch import explain_many
 from .explain.kernels import shap_kernel, approximate_shap_kernel_parity
 from .explain.masks import MaskSampler
 from .explain.pathways import Pathways
@@ -49,6 +50,7 @@ __all__ = [
     "homo_to_hetero_features",
     "element_size",
     "Explainer",
+    "explain_many",
     "extract_index",
     "set_seed",
     "weight_stacking",

@@ -1,0 +1,248 @@
+"""Batched multi-query explanation (explanations/sec path).
+
+The reference explains exactly one element per ``run()`` (a Python loop of
+repeats around torch training, ``explainer.py:490-519``).  Production serving
+wants *many* queries explained at once.  Here the entire per-query pipeline —
+Shapley mask sampling, masked black-box forwards, KernelSHAP weighting,
+surrogate Adam training — is one pure function of (subgraph arrays, query,
+PRNG key), vmapped over a stack of budget-padded computational subgraphs.
+One compiled program explains Q nodes.
+
+v1 scope: homogeneous GCNNodeModel, KernelSHAP (no communities), dense
+subgraph formulation (the common case: computational subgraphs fit the dense
+threshold).  Community mode and hetero models go through
+:class:`.explainer.Explainer` per query.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..graph import Graph
+from ..models.gnn import GCNNodeModel
+from ..ops.khop import extract_khop_subgraph
+from ..utils.padding import round_up_pow2
+from ..utils.prng import repeat_key
+from .kernels import shap_kernel
+from .wlm import init_surrogate_weights, train_surrogate
+
+
+def _stack_subgraphs(graph: Graph, queries: Sequence[int], n_hops: int):
+    """Extract each query's computational subgraph and pad all of them to a
+    common (max-bucket) capacity; returns stacked numpy arrays."""
+    subs = [extract_khop_subgraph(graph, int(q), n_hops) for q in queries]
+    n_pad = max(round_up_pow2(s.graph.num_nodes) for s in subs)
+    f = graph.num_features
+
+    qn = len(subs)
+    xs = np.zeros((qn, n_pad, f), np.float32)
+    adjs = np.zeros((qn, n_pad, n_pad), np.float32)
+    qidx = np.zeros((qn,), np.int32)
+    nvalid = np.zeros((qn,), np.int32)
+    parent_nodes: List[np.ndarray] = []
+    for i, s in enumerate(subs):
+        g = s.graph
+        n = g.num_nodes
+        xs[i, :n] = np.asarray(g.x)[:n]
+        snd = np.asarray(g.senders)[: g.num_edges]
+        rcv = np.asarray(g.receivers)[: g.num_edges]
+        keep = snd != rcv
+        np.add.at(adjs[i], (rcv[keep], snd[keep]), 1.0)
+        qidx[i] = s.query
+        nvalid[i] = n
+        parent_nodes.append(np.asarray(s.parent_nodes)[:n])
+    return xs, adjs, qidx, nvalid, parent_nodes
+
+
+@partial(
+    jax.jit,
+    static_argnames=("model_def", "n_masks", "epochs", "lr", "l1", "wd", "chunk"),
+)
+def _explain_one_query(
+    model_def: GCNNodeModel,
+    params,
+    x,  # [N, F]
+    adj,  # [N, N]
+    query,  # scalar int
+    n_valid,  # scalar int (actual node count)
+    key,
+    n_masks: int,
+    epochs: int,
+    lr: float,
+    l1: float,
+    wd: float,
+    chunk: int,
+):
+    n = x.shape[0]
+    k_mask, k_init = jax.random.split(key)
+    col_valid = jnp.arange(n) < n_valid
+    masks = jax.random.bernoulli(k_mask, 0.5, (n_masks, n)) & col_valid[None, :]
+
+    xw0 = x[:, : model_def.convs[0].in_features] @ params["conv"][0]["weight"].T
+
+    def forward_chunk(mchunk):
+        m = mchunk.astype(jnp.float32)
+        deg = 1.0 + m * jnp.einsum(
+            "vu,bu->bv", adj, m, preferred_element_type=jnp.float32
+        )
+        dis = jax.lax.rsqrt(deg)
+        s = m * dis
+        self_w = dis * dis
+
+        def layer(feats_w, first):
+            scaled = s[:, :, None] * (feats_w[None] if first else feats_w)
+            agg = jnp.einsum(
+                "vu,buc->bvc", adj, scaled, preferred_element_type=jnp.float32
+            )
+            return s[:, :, None] * agg
+
+        p0 = params["conv"][0]
+        h = layer(xw0, True) + self_w[:, :, None] * xw0[None]
+        if "bias" in p0:
+            h = h + p0["bias"]
+        h = jax.nn.relu(h)
+        for conv, p in zip(model_def.convs[1:], params["conv"][1:]):
+            hw = h[..., : conv.in_features] @ p["weight"].T
+            h = layer(hw, False) + self_w[:, :, None] * hw
+            if "bias" in p:
+                h = h + p["bias"]
+            h = jax.nn.relu(h)
+        hq = h[:, query, :]
+        return model_def.head(params, hq)[:, 0]
+
+    chunks = masks.reshape(n_masks // chunk, chunk, n)
+    outputs = jax.lax.map(forward_chunk, chunks).reshape(n_masks)
+
+    # kernel with traced element count (mask width is padded)
+    k = jnp.sum(masks, axis=1).astype(jnp.float32)
+    nv = n_valid.astype(jnp.float32) - 1.0
+    logw = (
+        jnp.log(nv)
+        - (
+            jax.lax.lgamma(nv + 2.0)
+            - jax.lax.lgamma(k + 1.0)
+            - jax.lax.lgamma(nv + 2.0 - k)
+        )
+        - jnp.log(jnp.maximum(nv + 1.0 - k, 1e-30))
+        - jnp.log(jnp.maximum(k, 1e-30))
+    )
+    valid = (k >= 1.0) & (k <= nv)
+    safe = jnp.where(valid, logw, -jnp.inf)
+    logw = logw - jnp.max(jnp.where(jnp.isfinite(safe), safe, -1e30))
+    kern = jnp.where(valid, jnp.exp(logw), 0.0)
+
+    # surrogate training (same scan as wlm.train_surrogate, but with a traced
+    # valid-column count)
+    bs = n_masks // epochs
+    maskf = masks.astype(jnp.float32).reshape(epochs, bs, n)
+    y = outputs.reshape(epochs, bs)
+    kb = kern.reshape(epochs, bs)
+    limit = jax.lax.rsqrt(n_valid.astype(jnp.float32))
+    w0 = (
+        jax.random.uniform(k_init, (n,), jnp.float32, -1.0, 1.0)
+        * limit
+        * col_valid.astype(jnp.float32)
+    )
+    colf = col_valid.astype(jnp.float32)
+
+    def loss_fn(w, mb, yb, kbb):
+        pred = mb @ w
+        wmse = jnp.mean(kbb * (pred - yb) ** 2) / jnp.maximum(kbb.sum(), 1e-30)
+        return wmse + l1 * jnp.sum(jnp.abs(w) * colf) / n_valid.astype(jnp.float32)
+
+    def step(carry, batch):
+        w, m_, v_, t, bw, bl = carry
+        mb, yb, kbb = batch
+        loss, g = jax.value_and_grad(loss_fn)(w, mb, yb, kbb)
+        g = (g + wd * w) * colf
+        t = t + 1
+        m_ = 0.9 * m_ + 0.1 * g
+        v_ = 0.999 * v_ + 0.001 * g * g
+        w = w - lr * (m_ / (1 - 0.9**t)) / (jnp.sqrt(v_ / (1 - 0.999**t)) + 1e-8)
+        imp = loss < bl
+        return (w, m_, v_, t, jnp.where(imp, w, bw), jnp.where(imp, loss, bl)), loss
+
+    carry0 = (w0, jnp.zeros_like(w0), jnp.zeros_like(w0), jnp.float32(0), w0,
+              jnp.float32(jnp.inf))
+    (w, *_rest, best_w, _), _losses = jax.lax.scan(step, carry0, (maskf, y, kb))
+    return best_w
+
+
+def explain_many(
+    model,
+    graph: Graph,
+    queries: Sequence[int],
+    params_cfg: dict,
+    names: Optional[Sequence[str]] = None,
+    times: int = 1,
+    chunk: int = 250,
+) -> List[pd.DataFrame]:
+    """Explain Q node queries with one vmapped program per repeat.
+
+    ``model``: a :class:`..models.adapter.Model` wrapping a GCNNodeModel.
+    Returns one sorted DataFrame per query (same schema as
+    ``Explainer.run``).
+    """
+    model_def = model.model_def
+    if not isinstance(model_def, GCNNodeModel):
+        raise TypeError("explain_many v1 supports GCNNodeModel")
+    n_hops = model_def.num_hops + 1
+    xs, adjs, qidx, nvalid, parent_nodes = _stack_subgraphs(graph, queries, n_hops)
+
+    n_masks = int(params_cfg["interpret_samples"]) * int(params_cfg["epochs"])
+    epochs = int(params_cfg["epochs"])
+    seed = int(params_cfg.get("seed", 0))
+    lr = float(abs(params_cfg.get("lr", 0.01)))
+    l1 = float(params_cfg.get("l1_lambda", 1e-4))
+    wd = float(params_cfg.get("weight_decay", 1e-2))
+    chunk = min(chunk, n_masks)
+    while n_masks % chunk:
+        chunk -= 1
+
+    run_q = jax.vmap(
+        lambda x, a, q, nv, key: _explain_one_query(
+            model_def, model.params, x, a, q, nv, key,
+            n_masks=n_masks, epochs=epochs, lr=lr, l1=l1, wd=wd, chunk=chunk,
+        )
+    )
+
+    weights_reps = []
+    for t in range(times):
+        key = repeat_key(seed, t)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+            jnp.arange(len(queries))
+        )
+        weights_reps.append(
+            np.asarray(
+                run_q(jnp.asarray(xs), jnp.asarray(adjs), jnp.asarray(qidx),
+                      jnp.asarray(nvalid), keys)
+            )
+        )
+    stack = np.stack(weights_reps)  # [T, Q, N_pad]
+    mean = stack.mean(0)
+    std = stack.std(0)
+
+    dfs = []
+    all_names = (
+        np.array(names, dtype=str)
+        if names is not None
+        else np.arange(graph.n_pad).astype(str)
+    )
+    for qi in range(len(queries)):
+        nv = int(nvalid[qi])
+        sub_names = all_names[parent_nodes[qi]]
+        df = pd.DataFrame(
+            {
+                "name": sub_names,
+                "config_value_mean": mean[qi, :nv],
+                "config_value_std": std[qi, :nv],
+            }
+        ).set_index("name").sort_values("config_value_mean", ascending=False)
+        dfs.append(df)
+    return dfs

@@ -1,0 +1,73 @@
+"""Batched multi-query explanation (explain_many) tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+import bikg_graph_explainability_public_tpu as px
+from bikg_graph_explainability_public_tpu.explain.batch import explain_many
+from bikg_graph_explainability_public_tpu.graph import from_arrays
+from bikg_graph_explainability_public_tpu.models.torch_import import (
+    gcn_node_model_params,
+    load_state_dict,
+)
+from fixtures import make_graph
+
+HOMO_CKPT = "/root/reference/test_data/gcn_homo_1hop_lungCancer.pth.tar"
+
+CFG = {"seed": 3, "interpret_samples": 40, "epochs": 50, "lr": 0.01,
+       "l1_lambda": 1e-4}
+# the surrogate estimator at reference defaults (1000 masks, 50 Adam steps)
+# is high-variance — seed-to-seed correlation of the reference-equivalent
+# single-query path can even go negative.  Cross-implementation agreement is
+# asserted at a converged budget (seed-to-seed corr ~0.94 there).
+CFG_CONVERGED = {"seed": 3, "interpret_samples": 100, "epochs": 400,
+                 "lr": 0.01, "l1_lambda": 1e-4}
+
+
+@pytest.mark.skipif(not os.path.exists(HOMO_CKPT), reason="ckpt absent")
+class TestExplainMany:
+    def _setup(self):
+        feat, ei, names = make_graph(n=36, f=84, e=116, seed=9)
+        sd = load_state_dict(HOMO_CKPT)
+        model = px.Model(px.GCNNodeModel(84), gcn_node_model_params(sd))
+        g = from_arrays(feat, ei)
+        return g, model, names, feat, ei
+
+    def test_subgraph_membership_matches_explainer(self):
+        g, model, names, feat, ei = self._setup()
+        queries = [10, 3, 25]
+        dfs = explain_many(model, g, queries, CFG, names=names)
+        assert len(dfs) == 3
+        for q, df in zip(queries, dfs):
+            single, _ = px.Explainer(feat, ei, model, CFG, names).run(str(q))
+            # identical computational subgraph membership
+            assert set(df.index) == set(single.index)
+            assert np.isfinite(df.to_numpy()).all()
+
+    def test_matches_single_query_explainer_converged(self):
+        """At a converged sampling budget the two implementations estimate
+        the same attribution values."""
+        g, model, names, feat, ei = self._setup()
+        dfs = explain_many(model, g, [10], CFG_CONVERGED, names=names, times=3)
+        single, _ = px.Explainer(feat, ei, model, CFG_CONVERGED, names).run(
+            "10", times=3
+        )
+        joined = dfs[0].join(single, rsuffix="_s")
+        corr = np.corrcoef(
+            joined["config_value_mean"], joined["config_value_mean_s"]
+        )[0, 1]
+        assert corr > 0.8, corr
+
+    def test_deterministic(self):
+        g, model, names, _, _ = self._setup()
+        a = explain_many(model, g, [5, 7], CFG, names=names)
+        b = explain_many(model, g, [5, 7], CFG, names=names)
+        for x, y in zip(a, b):
+            assert x.equals(y)
+
+    def test_times_gives_std(self):
+        g, model, names, _, _ = self._setup()
+        dfs = explain_many(model, g, [10], CFG, names=names, times=3)
+        assert dfs[0]["config_value_std"].max() > 0
