@@ -244,7 +244,12 @@ class Explainer:
             n_hops = self.model.get_hops(relations)
             ind = self._query_index(element, names, hetero_info)
             # one extra hop, mirroring the reference (data.py:328)
-            sub = extract_khop_subgraph(graph, ind, n_hops + 1)
+            sub = extract_khop_subgraph(
+                graph,
+                ind,
+                n_hops + 1,
+                pad_mode=self.params.get("pad_mode", "multiple") or "multiple",
+            )
             sub_graph = sub.graph
             sub_query = sub.query
             kept = np.asarray(sub.parent_nodes[: sub_graph.num_nodes])
@@ -302,6 +307,7 @@ class Explainer:
                     elements,
                     batch_size,
                     k_init,
+                    chunk_size=self.params.get("forward_chunk", None),
                 )
                 weights = np.asarray(result.weights)[:elements]
             config_vals.append(weights)

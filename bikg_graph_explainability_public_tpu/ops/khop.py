@@ -64,22 +64,34 @@ def extract_khop_subgraph(
     n_hops: int,
     *,
     pad_mode: str = "multiple",
+    host_bfs: bool = True,
 ) -> Subgraph:
     """Extract the padded k-hop computational subgraph around ``query``.
 
-    Host-side sizing + device-side gathers.  If the subgraph has no edges the
-    query gets a single self-loop, mirroring the reference fallback
-    (``data.py:337-339``).
+    Host-side sizing + gathers.  The frontier sweep runs in the native C++
+    runtime by default (``host_bfs=True``; zero device round-trips — the
+    extraction feeds the device, it doesn't need it); set ``host_bfs=False``
+    to use the jitted on-device sweep instead (useful when the graph only
+    exists on device).  If the subgraph has no edges the query gets a single
+    self-loop, mirroring the reference fallback (``data.py:337-339``).
     """
-    reach = khop_reachable(
-        graph.senders,
-        graph.receivers,
-        graph.edge_mask,
-        jnp.asarray(query, jnp.int32),
-        n_hops,
-        graph.n_pad,
-    )
-    reach = np.asarray(reach).copy()
+    if host_bfs:
+        from ..runtime import native
+
+        snd_h = np.asarray(graph.senders)[: graph.num_edges]
+        rcv_h = np.asarray(graph.receivers)[: graph.num_edges]
+        reach = native.khop_reachable(graph.n_pad, snd_h, rcv_h, int(query), n_hops)
+    else:
+        reach = np.asarray(
+            khop_reachable(
+                graph.senders,
+                graph.receivers,
+                graph.edge_mask,
+                jnp.asarray(query, jnp.int32),
+                n_hops,
+                graph.n_pad,
+            )
+        ).copy()
     reach &= np.asarray(graph.node_mask)
     snd = np.asarray(graph.senders)
     rcv = np.asarray(graph.receivers)

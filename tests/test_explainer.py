@@ -3,6 +3,7 @@ test_run — the integration test — plus unit tests of the helpers)."""
 
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -182,8 +183,6 @@ class TestHeteroQueryIndex:
         )
         assert idx == 7  # block "b" starts at 5, local index 2
 
-
-import jax  # noqa: E402
 
 
 @pytest.mark.skipif(not os.path.exists(HETERO_CKPT), reason="checkpoint absent")
