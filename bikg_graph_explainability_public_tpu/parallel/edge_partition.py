@@ -20,12 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-try:  # jax >= 0.6 moved shard_map out of experimental
-    from jax import shard_map as _shard_map_mod
-
-    shard_map = _shard_map_mod.shard_map  # type: ignore[attr-defined]
-except Exception:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map  # type: ignore
+from ._shard_map import shard_map
 
 
 def partition_edges(edge_arrays, mesh: Mesh, axis: str = "data"):

@@ -1,0 +1,255 @@
+"""Halo-exchange edge partitioning: sharded node features, O(boundary) comms.
+
+:mod:`.edge_partition` shards edges but replicates node features, combining
+partial aggregates with an ``O(N)`` ``psum``.  This module is the scalable
+variant promised there: nodes are range-partitioned across the mesh (each
+device owns a contiguous block of rows), edges live with their *receiver's*
+owner (so every aggregation output is device-local), and the only
+communication per layer is an ``all_to_all`` of exactly the **boundary rows**
+each device's edge shard reads from remote owners — the TPU-native equivalent
+of a distributed graph engine's halo exchange, riding ICI instead of
+NCCL/MPI (the reference has no distributed capability at all, SURVEY §2.3).
+
+The partition is computed host-side once per (graph, mesh) and reused for
+every layer / perturbation batch.  All shapes are static: send lists and edge
+shards are padded to the max across devices, so the same compiled program
+serves any mask.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..utils.padding import round_up
+
+from ._shard_map import shard_map
+
+
+class HaloPartition(NamedTuple):
+    """Static halo-exchange plan for one (graph, n_devices) pair.
+
+    Node u is owned by device ``u // n_local``.  Edge e is owned by
+    ``owner(receivers[e])``.  Per-device arrays are stacked on a leading
+    device axis (sharded ``P(axis)`` into ``shard_map``).
+
+    n_local:    nodes per device (global padded node count = D * n_local)
+    halo:       boundary rows per (owner, requester) pair (static, padded)
+    send_idx:   [D, D, halo] int32 — device o's local row ids to ship to
+                device d (slice ``send_idx[o, d]``); 0-padded
+    edge_slot:  [D, E_loc] int32 — per edge, index into the device-local
+                concat([own rows (n_local), received halo rows (D*halo)])
+    edge_rcv:   [D, E_loc] int32 — receiver row id local to the device
+    edge_id:    [D, E_loc] int32 — original (global) edge id, for per-edge
+                weight gathers
+    edge_valid: [D, E_loc] float32 — 1 for real edges, 0 for padding
+    """
+
+    n_local: int
+    halo: int
+    send_idx: jax.Array
+    edge_slot: jax.Array
+    edge_rcv: jax.Array
+    edge_id: jax.Array
+    edge_valid: jax.Array
+
+    @property
+    def n_devices(self) -> int:
+        return self.send_idx.shape[0]
+
+    @property
+    def n_total(self) -> int:
+        return self.n_devices * self.n_local
+
+
+def build_halo_partition(
+    senders: np.ndarray, receivers: np.ndarray, num_nodes: int, n_devices: int
+) -> HaloPartition:
+    """Host-side partitioner (numpy; one pass over the edge list)."""
+    snd = np.asarray(senders, dtype=np.int64)
+    rcv = np.asarray(receivers, dtype=np.int64)
+    n_local = round_up(max((num_nodes + n_devices - 1) // n_devices, 1), 8)
+    d = n_devices
+    owner_e = rcv // n_local  # edge owner = receiver's owner
+
+    # per-(owner o -> requester dd) unique remote sender lists
+    need: list[list[np.ndarray]] = [[None] * d for _ in range(d)]  # type: ignore
+    halo = 8
+    for dd in range(d):
+        e_sel = owner_e == dd
+        s = snd[e_sel]
+        s_own = s // n_local
+        for o in range(d):
+            ids = np.unique(s[s_own == o]) if o != dd else np.empty(0, np.int64)
+            need[o][dd] = ids
+            halo = max(halo, len(ids))
+    halo = round_up(halo, 8)
+
+    send_idx = np.zeros((d, d, halo), np.int32)
+    # map (requester dd, global node id) -> halo slot, built from send lists
+    slot_of: list[dict[int, int]] = [dict() for _ in range(d)]
+    for o in range(d):
+        for dd in range(d):
+            ids = need[o][dd]
+            send_idx[o, dd, : len(ids)] = (ids - o * n_local).astype(np.int32)
+            base = n_local + o * halo
+            for pos, u in enumerate(ids):
+                slot_of[dd][int(u)] = base + pos
+
+    e_loc = 8
+    shards = []
+    for dd in range(d):
+        eids = np.nonzero(owner_e == dd)[0]
+        shards.append(eids)
+        e_loc = max(e_loc, len(eids))
+    e_loc = round_up(e_loc, 8)
+
+    edge_slot = np.zeros((d, e_loc), np.int32)
+    edge_rcv = np.zeros((d, e_loc), np.int32)
+    edge_id = np.zeros((d, e_loc), np.int32)
+    edge_valid = np.zeros((d, e_loc), np.float32)
+    for dd in range(d):
+        eids = shards[dd]
+        k = len(eids)
+        s, r = snd[eids], rcv[eids]
+        local = (s // n_local) == dd
+        slots = np.where(
+            local,
+            s - dd * n_local,
+            np.array([slot_of[dd].get(int(u), 0) for u in s], dtype=np.int64),
+        )
+        edge_slot[dd, :k] = slots.astype(np.int32)
+        edge_rcv[dd, :k] = (r - dd * n_local).astype(np.int32)
+        edge_id[dd, :k] = eids.astype(np.int32)
+        edge_valid[dd, :k] = 1.0
+
+    return HaloPartition(
+        n_local=n_local,
+        halo=halo,
+        send_idx=jnp.asarray(send_idx),
+        edge_slot=jnp.asarray(edge_slot),
+        edge_rcv=jnp.asarray(edge_rcv),
+        edge_id=jnp.asarray(edge_id),
+        edge_valid=jnp.asarray(edge_valid),
+    )
+
+
+def pad_nodes(x: np.ndarray | jax.Array, part: HaloPartition) -> jax.Array:
+    """Zero-pad a [N, ...] node array to the partition's global row count."""
+    n = x.shape[0]
+    if n == part.n_total:
+        return jnp.asarray(x)
+    pad = [(0, part.n_total - n)] + [(0, 0)] * (x.ndim - 1)
+    return jnp.asarray(np.pad(np.asarray(x), pad))
+
+
+def _exchange(h_loc: jax.Array, send_idx_dev: jax.Array, axis: str) -> jax.Array:
+    """Ship this device's boundary rows to every peer; return the device's
+    complete lookup buffer [n_local + D*halo, F]."""
+    send = h_loc[send_idx_dev]  # [D, halo, F]
+    recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+    return jnp.concatenate([h_loc, recv.reshape(-1, h_loc.shape[-1])])
+
+
+def halo_gather_sum(
+    edge_weight: jax.Array,
+    feats: jax.Array,
+    part: HaloPartition,
+    mesh: Mesh,
+    axis: str = "data",
+) -> jax.Array:
+    """out[v] = sum_e w_e * feats[senders_e] over the halo partition.
+
+    ``feats`` [N_total, F] and the result are node-sharded over ``axis``;
+    ``edge_weight`` [E] is replicated (gathered per shard by edge id).
+    """
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    def run(ew, x_loc, send_idx, slot, rcv, eid, valid):
+        buf = _exchange(x_loc, send_idx[0], axis)
+        w = ew[eid[0]] * valid[0]
+        msg = w[:, None] * buf[slot[0]]
+        return jax.ops.segment_sum(msg, rcv[0], num_segments=part.n_local)
+
+    return run(
+        edge_weight,
+        feats,
+        part.send_idx,
+        part.edge_slot,
+        part.edge_rcv,
+        part.edge_id,
+        part.edge_valid,
+    )
+
+
+def halo_gcn_forward(
+    model_def,
+    params,
+    x: jax.Array,
+    edge_weight: jax.Array,
+    part: HaloPartition,
+    mesh: Mesh,
+    axis: str = "data",
+    senders: jax.Array | None = None,
+    receivers: jax.Array | None = None,
+) -> jax.Array:
+    """Full GCN forward with nodes, edges AND activations sharded.
+
+    Every layer: local matmul -> halo all_to_all of scaled boundary rows ->
+    local segment-sum.  Communication per layer is ``D * halo * F`` elements
+    per device, independent of N.  Matches the single-chip forward exactly
+    (tests assert allclose).  ``senders``/``receivers`` are unused (the
+    partition already encodes them) and accepted only for API symmetry with
+    :func:`.edge_partition.partitioned_gcn_forward`.
+    """
+    n_local = part.n_local
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+    )
+    def run(ew, x_loc, send_idx, slot, rcv, eid, valid):
+        sidx = send_idx[0]
+        w_e = ew[eid[0]] * valid[0]
+        # self-loop data edges are replaced by the unit self loop (gcn_norm)
+        is_self = (slot[0] == rcv[0]) & (slot[0] < n_local)
+        w_e = jnp.where(is_self, 0.0, w_e)
+        deg = 1.0 + jax.ops.segment_sum(w_e, rcv[0], num_segments=n_local)
+        dis = jax.lax.rsqrt(deg)  # [n_local]
+        dis_buf = _exchange(dis[:, None], sidx, axis)[:, 0]
+        norm_e = w_e * dis_buf[slot[0]] * dis[rcv[0]]
+        self_w = dis * dis
+
+        h = x_loc
+        for conv, p in zip(model_def.convs, params["conv"]):
+            hw = h[:, : conv.in_features] @ p["weight"].T
+            buf = _exchange(hw, sidx, axis)
+            msg = norm_e[:, None] * buf[slot[0]]
+            agg = jax.ops.segment_sum(msg, rcv[0], num_segments=n_local)
+            h = agg + self_w[:, None] * hw
+            if "bias" in p:
+                h = h + p["bias"]
+            h = jax.nn.relu(h)
+        return model_def.head(params, h)
+
+    return run(
+        edge_weight,
+        x,
+        part.send_idx,
+        part.edge_slot,
+        part.edge_rcv,
+        part.edge_id,
+        part.edge_valid,
+    )

@@ -5,11 +5,15 @@ a small GCN trained in JAX, and a community-aware explanation of node "1".
 Run:  python examples/toy_example.py
 """
 
+import os
+import sys
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-import bikg_graph_explainability_public_tpu as px
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bikg_graph_explainability_public_tpu as px  # noqa: E402
 
 # ---------------------------------------------------------------------------
 # 1. A tiny star graph: node 1 is the hub, nodes 0,2,3,4 point at it.

@@ -114,3 +114,73 @@ class TestTensorParallel:
         base = np.asarray(model.infer(g))
         tp = np.asarray(model_tp.infer(g))
         np.testing.assert_allclose(tp, base, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestHaloPartition:
+    """Sharded-feature halo exchange: O(boundary) comms instead of O(N) psum."""
+
+    def _partition(self, n=48, e=128, seed=7):
+        from bikg_graph_explainability_public_tpu.parallel.halo import (
+            build_halo_partition,
+        )
+
+        rng = np.random.default_rng(seed)
+        snd = rng.integers(0, n, e).astype(np.int64)
+        rcv = rng.integers(0, n, e).astype(np.int64)
+        part = build_halo_partition(snd, rcv, n, 8)
+        return snd, rcv, part
+
+    def test_halo_gather_sum_matches(self):
+        from bikg_graph_explainability_public_tpu.parallel.halo import (
+            halo_gather_sum,
+            pad_nodes,
+        )
+
+        n, e, f = 48, 128, 6
+        snd, rcv, part = self._partition(n, e)
+        rng = np.random.default_rng(1)
+        feats = rng.normal(size=(n, f)).astype(np.float32)
+        ew = rng.random(e).astype(np.float32)
+        want = np.asarray(
+            jax.ops.segment_sum(
+                jnp.asarray(ew)[:, None] * jnp.asarray(feats)[jnp.asarray(snd)],
+                jnp.asarray(rcv),
+                num_segments=n,
+            )
+        )
+        mesh = make_mesh(8)
+        got = np.asarray(
+            halo_gather_sum(jnp.asarray(ew), pad_nodes(feats, part), part, mesh)
+        )[:n]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_halo_gcn_forward_matches_single_chip(self):
+        from bikg_graph_explainability_public_tpu.parallel.halo import (
+            build_halo_partition,
+            halo_gcn_forward,
+            pad_nodes,
+        )
+
+        feat, ei, _ = make_graph(n=40, f=16, e=120, seed=42)
+        g = from_arrays(feat, ei, edge_budget=120)
+        mdef = px.GCNNodeModel(16, conv_channels=(8, 8), fc_channels=(8, 8))
+        params = mdef.init(jax.random.PRNGKey(5))
+        base = np.asarray(px.Model(mdef, params).infer(g))[:40]
+
+        snd = np.asarray(g.senders)[: g.num_edges]
+        rcv = np.asarray(g.receivers)[: g.num_edges]
+        part = build_halo_partition(snd, rcv, 40, 8)
+        mesh = make_mesh(8)
+        ew = jnp.ones((g.num_edges,), jnp.float32)
+        x = pad_nodes(np.asarray(g.x), part)
+        got = np.asarray(halo_gcn_forward(mdef, params, x, ew, part, mesh))[:40]
+        np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-6)
+
+    def test_halo_volume_is_bounded_by_boundary(self):
+        """The exchanged rows per device pair never exceed the device's
+        owned-node count (and are typically far below N)."""
+        n, e = 48, 128
+        _, _, part = self._partition(n, e)
+        assert part.halo <= part.n_local + 8
+        assert part.send_idx.shape == (8, 8, part.halo)
