@@ -28,6 +28,7 @@ from .halo import (
     build_halo_partition,
     halo_gather_sum,
     halo_gcn_forward,
+    halo_masked_query_outputs,
     pad_nodes,
 )
 
@@ -46,5 +47,6 @@ __all__ = [
     "build_halo_partition",
     "halo_gather_sum",
     "halo_gcn_forward",
+    "halo_masked_query_outputs",
     "pad_nodes",
 ]

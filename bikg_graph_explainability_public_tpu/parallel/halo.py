@@ -192,6 +192,90 @@ def halo_gather_sum(
     )
 
 
+def halo_masked_query_outputs(
+    model_def,
+    params,
+    x: jax.Array,
+    masks: jax.Array,
+    part: HaloPartition,
+    mesh: Mesh,
+    query: int,
+    axis: str = "data",
+) -> jax.Array:
+    """Batched perturbed query outputs over the halo partition: B node-mask
+    perturbations of a graph whose features/edges/activations are sharded.
+
+    This is the explainer hot loop (``Model.perturbed_query_outputs``) for
+    graphs too big for one chip — the capability BASELINE.json configs 4-5
+    ask for.  Activations are kept batch-contiguous ([n_local, B, C]) so each
+    halo ``all_to_all`` ships whole boundary rows for the entire batch at
+    once; masks are exchanged once and reused by every layer.
+
+    masks: [B, N_total] (replicated); returns [B] query predictions.
+    """
+    n_local = part.n_local
+    q_dev, q_loc = divmod(int(query), n_local)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(None, axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+    )
+    def run(x_loc, m_loc, send_idx, slot, rcv, valid):
+        sidx, slot0, rcv0 = send_idx[0], slot[0], rcv[0]
+        mt = m_loc.astype(jnp.float32).T  # [n_local, B]
+        m_buf = _exchange(mt, sidx, axis)  # [n_local + D*halo, B]
+        is_self = (slot0 == rcv0) & (slot0 < n_local)
+        w_e = valid[0][:, None] * m_buf[slot0] * mt[rcv0]  # [E_loc, B]
+        w_e = jnp.where(is_self[:, None], 0.0, w_e)
+        deg = 1.0 + jax.ops.segment_sum(w_e, rcv0, num_segments=n_local)
+        dis = jax.lax.rsqrt(deg)  # [n_local, B]
+        dis_buf = _exchange(dis, sidx, axis)
+        norm_e = w_e * dis_buf[slot0] * dis[rcv0]  # [E_loc, B]
+        self_w = dis * dis  # [n_local, B]
+        b = mt.shape[1]
+
+        h = None  # [n_local, B, C] after the first layer
+        for li, (conv, p) in enumerate(zip(model_def.convs, params["conv"])):
+            if li == 0:
+                hw = x_loc[:, : conv.in_features] @ p["weight"].T  # [n_local,C]
+                c = hw.shape[-1]
+                buf = _exchange(hw, sidx, axis)  # batch-shared rows
+                msg = buf[slot0][:, None, :] * norm_e[:, :, None]  # [E,B,C]
+                self_term = self_w[:, :, None] * hw[:, None, :]
+            else:
+                hw = jnp.einsum(
+                    "nbc,gc->nbg",
+                    h[..., : conv.in_features],
+                    p["weight"],
+                    preferred_element_type=jnp.float32,
+                )
+                c = hw.shape[-1]
+                buf = _exchange(hw.reshape(n_local, b * c), sidx, axis)
+                msg = buf[slot0].reshape(-1, b, c) * norm_e[:, :, None]
+                self_term = self_w[:, :, None] * hw
+            agg = jax.ops.segment_sum(
+                msg.reshape(-1, b * c), rcv0, num_segments=n_local
+            ).reshape(n_local, b, c)
+            h = agg + self_term
+            if "bias" in p:
+                h = h + p["bias"]
+            h = jax.nn.relu(h)
+
+        my_dev = jax.lax.axis_index(axis)
+        hq = jnp.where(my_dev == q_dev, 1.0, 0.0) * h[q_loc]  # [B, C]
+        out = model_def.head(params, hq)[:, 0]  # [B]
+        # only the query owner's head output is meaningful; zero the rest
+        # BEFORE the sum (head(0) != 0 in general because of biases)
+        out = jnp.where(my_dev == q_dev, out, 0.0)
+        return jax.lax.psum(out, axis)
+
+    return run(
+        x, masks, part.send_idx, part.edge_slot, part.edge_rcv, part.edge_valid
+    )
+
+
 def halo_gcn_forward(
     model_def,
     params,

@@ -184,3 +184,38 @@ class TestHaloPartition:
         _, _, part = self._partition(n, e)
         assert part.halo <= part.n_local + 8
         assert part.send_idx.shape == (8, 8, part.halo)
+
+    def test_halo_masked_query_outputs_match(self):
+        """B perturbations of a fully sharded graph == the single-chip
+        batched masked forward."""
+        from bikg_graph_explainability_public_tpu.parallel.halo import (
+            build_halo_partition,
+            halo_masked_query_outputs,
+            pad_nodes,
+        )
+
+        feat, ei, _ = make_graph(n=40, f=16, e=120, seed=43)
+        g = from_arrays(feat, ei, edge_budget=120)
+        mdef = px.GCNNodeModel(16, conv_channels=(8, 8), fc_channels=(8, 8))
+        params = mdef.init(jax.random.PRNGKey(6))
+        model = px.Model(mdef, params)
+        rng = np.random.default_rng(3)
+        masks_small = jnp.asarray(rng.random((6, g.n_pad)) > 0.3)
+        query = 11
+        want = np.asarray(
+            model.perturbed_query_outputs(g, masks_small, "node_prediction", query)
+        )
+
+        snd = np.asarray(g.senders)[: g.num_edges]
+        rcv = np.asarray(g.receivers)[: g.num_edges]
+        part = build_halo_partition(snd, rcv, 40, 8)
+        mesh = make_mesh(8)
+        masks_pad = jnp.zeros((6, part.n_total), bool)
+        masks_pad = masks_pad.at[:, : g.n_pad].set(masks_small)
+        got = np.asarray(
+            halo_masked_query_outputs(
+                mdef, params, pad_nodes(np.asarray(g.x), part),
+                masks_pad, part, mesh, query,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
