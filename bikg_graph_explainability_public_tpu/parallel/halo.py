@@ -70,11 +70,28 @@ class HaloPartition(NamedTuple):
 def build_halo_partition(
     senders: np.ndarray, receivers: np.ndarray, num_nodes: int, n_devices: int
 ) -> HaloPartition:
-    """Host-side partitioner (numpy; one pass over the edge list)."""
+    """Host-side partitioner.  Uses the native C++ planner
+    (``runtime/graph_builder.cpp::halo_plan_*``) when available; numpy
+    fallback otherwise."""
     snd = np.asarray(senders, dtype=np.int64)
     rcv = np.asarray(receivers, dtype=np.int64)
     n_local = round_up(max((num_nodes + n_devices - 1) // n_devices, 1), 8)
     d = n_devices
+
+    from ..runtime import native
+
+    plan = native.build_halo_plan(d * n_local, snd, rcv, n_local, d)
+    if plan is not None:
+        halo, _e_loc, send_idx, edge_slot, edge_rcv, edge_id, edge_valid = plan
+        return HaloPartition(
+            n_local=n_local,
+            halo=halo,
+            send_idx=jnp.asarray(send_idx),
+            edge_slot=jnp.asarray(edge_slot),
+            edge_rcv=jnp.asarray(edge_rcv),
+            edge_id=jnp.asarray(edge_id),
+            edge_valid=jnp.asarray(edge_valid),
+        )
     owner_e = rcv // n_local  # edge owner = receiver's owner
 
     # per-(owner o -> requester dd) unique remote sender lists

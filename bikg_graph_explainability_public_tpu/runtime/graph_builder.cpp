@@ -106,6 +106,105 @@ void khop_reachable(int64_t n, int64_t e, const int32_t* src,
   }
 }
 
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Halo partition planning (see parallel/halo.py).  Nodes are range-owned
+// (owner = v / n_local); an edge lives with its receiver's owner.  The plan
+// lists, per (owner o -> requester dd) pair, the unique boundary rows o must
+// ship to dd, and rewrites each device's edge shard against its local
+// lookup buffer [own rows | received halo rows].  Two passes: sizes, fill.
+// ---------------------------------------------------------------------------
+
+namespace {
+// Edge ids grouped by owning device (receiver's owner), original order kept.
+struct DeviceBuckets {
+  std::vector<int64_t> ptr;    // d+1
+  std::vector<int64_t> order;  // e
+  DeviceBuckets(int64_t e, const int32_t* dst, int64_t n_local, int64_t d) {
+    ptr.assign(d + 1, 0);
+    for (int64_t i = 0; i < e; ++i) ptr[dst[i] / n_local + 1]++;
+    for (int64_t dd = 0; dd < d; ++dd) ptr[dd + 1] += ptr[dd];
+    order.resize(e);
+    std::vector<int64_t> cur(ptr.begin(), ptr.end() - 1);
+    for (int64_t i = 0; i < e; ++i) order[cur[dst[i] / n_local]++] = i;
+  }
+};
+}  // namespace
+
+extern "C" {
+
+// Pass 1: halo = max unique boundary rows over (owner, requester) pairs;
+// e_loc = max edges owned by one device.
+void halo_plan_sizes(int64_t n, int64_t e, const int32_t* src,
+                     const int32_t* dst, int64_t n_local, int64_t d,
+                     int64_t* halo_out, int64_t* eloc_out) {
+  DeviceBuckets b(e, dst, n_local, d);
+  std::vector<int64_t> stamp(n, -1);
+  std::vector<int64_t> cnt(d);
+  int64_t halo = 0, eloc = 0;
+  for (int64_t dd = 0; dd < d; ++dd) {
+    int64_t ecount = b.ptr[dd + 1] - b.ptr[dd];
+    if (ecount > eloc) eloc = ecount;
+    std::fill(cnt.begin(), cnt.end(), 0);
+    for (int64_t p = b.ptr[dd]; p < b.ptr[dd + 1]; ++p) {
+      int32_t u = src[b.order[p]];
+      int64_t o = u / n_local;
+      if (o != dd && stamp[u] != dd) {
+        stamp[u] = dd;
+        cnt[o]++;
+      }
+    }
+    for (int64_t o = 0; o < d; ++o)
+      if (cnt[o] > halo) halo = cnt[o];
+  }
+  *halo_out = halo;
+  *eloc_out = eloc;
+}
+
+// Pass 2: fill caller-zeroed buffers sized with (rounded-up) halo / e_loc.
+// send_idx [d,d,halo] i32; edge_slot/edge_rcv/edge_id [d,e_loc] i32;
+// edge_valid [d,e_loc] u8.
+void halo_plan_fill(int64_t n, int64_t e, const int32_t* src,
+                    const int32_t* dst, int64_t n_local, int64_t d,
+                    int64_t halo, int64_t e_loc, int32_t* send_idx,
+                    int32_t* edge_slot, int32_t* edge_rcv, int32_t* edge_id,
+                    uint8_t* edge_valid) {
+  DeviceBuckets b(e, dst, n_local, d);
+  std::vector<int64_t> stamp(n, -1);
+  std::vector<int64_t> slot(n, 0);
+  std::vector<int64_t> fill(d);
+  for (int64_t dd = 0; dd < d; ++dd) {
+    std::fill(fill.begin(), fill.end(), 0);
+    for (int64_t p = b.ptr[dd]; p < b.ptr[dd + 1]; ++p) {
+      int32_t u = src[b.order[p]];
+      int64_t o = u / n_local;
+      if (o != dd && stamp[u] != dd) {
+        stamp[u] = dd;
+        int64_t pos = fill[o]++;
+        send_idx[(o * d + dd) * halo + pos] =
+            static_cast<int32_t>(u - o * n_local);
+        slot[u] = n_local + o * halo + pos;
+      }
+    }
+    int64_t k = 0;
+    for (int64_t p = b.ptr[dd]; p < b.ptr[dd + 1]; ++p, ++k) {
+      int64_t ei = b.order[p];
+      int32_t u = src[ei];
+      int64_t o = u / n_local;
+      edge_slot[dd * e_loc + k] = static_cast<int32_t>(
+          o == dd ? u - dd * n_local : slot[u]);
+      edge_rcv[dd * e_loc + k] = static_cast<int32_t>(dst[ei] - dd * n_local);
+      edge_id[dd * e_loc + k] = static_cast<int32_t>(ei);
+      edge_valid[dd * e_loc + k] = 1;
+    }
+  }
+}
+
+}  // extern "C"
+
+extern "C" {
+
 // Membership filter: keep[i] = mask[src[i]] && mask[dst[i]] — the native
 // equivalent of the reference's cupy/numpy in1d edge filtering
 // (data.py:431-451).

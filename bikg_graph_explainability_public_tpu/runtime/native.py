@@ -69,6 +69,15 @@ def _lib() -> Optional[ctypes.CDLL]:
                 lib.edge_mask_from_node_mask.argtypes = [
                     ctypes.c_int64, _i32p, _i32p, _u8p, _u8p,
                 ]
+                lib.halo_plan_sizes.argtypes = [
+                    ctypes.c_int64, ctypes.c_int64, _i32p, _i32p,
+                    ctypes.c_int64, ctypes.c_int64, _i64p, _i64p,
+                ]
+                lib.halo_plan_fill.argtypes = [
+                    ctypes.c_int64, ctypes.c_int64, _i32p, _i32p,
+                    ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_int64, _i32p, _i32p, _i32p, _i32p, _u8p,
+                ]
                 _LIB = lib
         return _LIB
 
@@ -153,6 +162,36 @@ def khop_reachable(n: int, src, dst, query: int, hops: int) -> np.ndarray:
             break
         reach = new
     return reach
+
+
+def build_halo_plan(n: int, src, dst, n_local: int, d: int, round_to: int = 8):
+    """Native halo-exchange partition plan (see ``parallel/halo.py``).
+
+    Returns ``(halo, e_loc, send_idx [d,d,halo] i32, edge_slot [d,e_loc] i32,
+    edge_rcv, edge_id, edge_valid [d,e_loc] f32)`` or ``None`` when the
+    native library is unavailable (callers fall back to the numpy planner).
+    """
+    lib = _lib()
+    if lib is None:
+        return None
+    src, dst = _c32(src), _c32(dst)
+    e = src.shape[0]
+    halo_sz = np.zeros(1, np.int64)
+    eloc_sz = np.zeros(1, np.int64)
+    lib.halo_plan_sizes(n, e, src, dst, n_local, d, halo_sz, eloc_sz)
+    rnd = max(round_to, 1)
+    halo = max((int(halo_sz[0]) + rnd - 1) // rnd * rnd, rnd)
+    e_loc = max((int(eloc_sz[0]) + rnd - 1) // rnd * rnd, rnd)
+    send_idx = np.zeros((d, d, halo), np.int32)
+    edge_slot = np.zeros((d, e_loc), np.int32)
+    edge_rcv = np.zeros((d, e_loc), np.int32)
+    edge_id = np.zeros((d, e_loc), np.int32)
+    edge_valid = np.zeros((d, e_loc), np.uint8)
+    lib.halo_plan_fill(
+        n, e, src, dst, n_local, d, halo, e_loc,
+        send_idx, edge_slot, edge_rcv, edge_id, edge_valid,
+    )
+    return halo, e_loc, send_idx, edge_slot, edge_rcv, edge_id, edge_valid.astype(np.float32)
 
 
 def edge_mask_from_node_mask(src, dst, node_mask) -> np.ndarray:

@@ -52,3 +52,53 @@ class TestNative:
         nm = np.random.default_rng(0).random(20) > 0.5
         got = native.edge_mask_from_node_mask(ei[0], ei[1], nm)
         np.testing.assert_array_equal(got, nm[ei[0]] & nm[ei[1]])
+
+
+class TestHaloPlanNative:
+    def test_native_plan_matches_numpy_semantics(self):
+        """Native and numpy halo planners may order boundary rows
+        differently but must produce identical aggregation results."""
+        import jax
+        import jax.numpy as jnp
+
+        from bikg_graph_explainability_public_tpu.parallel import halo as halo_mod
+        from bikg_graph_explainability_public_tpu.runtime import native
+
+        if not native.native_available() or len(jax.devices()) < 8:
+            import pytest
+
+            pytest.skip("needs native lib + 8 devices")
+
+        rng = np.random.default_rng(11)
+        n, e, f = 56, 200, 5
+        snd = rng.integers(0, n, e).astype(np.int64)
+        rcv = rng.integers(0, n, e).astype(np.int64)
+        feats = rng.normal(size=(n, f)).astype(np.float32)
+        ew = rng.random(e).astype(np.float32)
+        want = np.asarray(
+            jax.ops.segment_sum(
+                jnp.asarray(ew)[:, None] * jnp.asarray(feats)[jnp.asarray(snd)],
+                jnp.asarray(rcv),
+                num_segments=n,
+            )
+        )
+
+        from bikg_graph_explainability_public_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8)
+        for use_native in (True, False):
+            if use_native:
+                part = halo_mod.build_halo_partition(snd, rcv, n, 8)
+            else:
+                orig = native.build_halo_plan
+                native.build_halo_plan = lambda *a, **k: None
+                try:
+                    part = halo_mod.build_halo_partition(snd, rcv, n, 8)
+                finally:
+                    native.build_halo_plan = orig
+            got = np.asarray(
+                halo_mod.halo_gather_sum(
+                    jnp.asarray(ew), halo_mod.pad_nodes(feats, part), part, mesh
+                )
+            )[:n]
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
