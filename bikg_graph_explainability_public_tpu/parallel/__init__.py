@@ -23,6 +23,7 @@ from .edge_partition import (
     partitioned_gather_sum,
     partitioned_gcn_forward,
 )
+from .sharded_model import ShardedModel
 from .halo import (
     HaloPartition,
     build_halo_partition,
@@ -49,4 +50,5 @@ __all__ = [
     "halo_gcn_forward",
     "halo_masked_query_outputs",
     "pad_nodes",
+    "ShardedModel",
 ]

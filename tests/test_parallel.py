@@ -219,3 +219,30 @@ class TestHaloPartition:
             )
         )
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestShardedModel:
+    def test_explainer_end_to_end_matches_single_device(self):
+        """The full Explainer pipeline with a ShardedModel (halo-partitioned
+        forwards) reproduces the single-device explanation."""
+        from bikg_graph_explainability_public_tpu.parallel import ShardedModel
+
+        feat, ei, _ = make_graph(n=40, f=16, e=120, seed=50)
+        names = [str(i) for i in range(40)]
+        mdef = px.GCNNodeModel(16, conv_channels=(8,), fc_channels=(8, 8))
+        params = mdef.init(jax.random.PRNGKey(7))
+        cfg = {"seed": 3, "interpret_samples": 10, "epochs": 10, "lr": 0.01,
+               "l1_lambda": 1e-4}
+
+        base_model = px.Model(mdef, params)
+        cv_a, _ = px.Explainer(feat, ei, base_model, cfg, names).run("7", times=1)
+
+        mesh = make_mesh(8)
+        sharded = ShardedModel(mdef, params, mesh)
+        cv_b, _ = px.Explainer(feat, ei, sharded, cfg, names).run("7", times=1)
+
+        assert set(cv_a.index) == set(cv_b.index)
+        a = cv_a["config_value_mean"].sort_index()
+        b = cv_b["config_value_mean"].sort_index()
+        np.testing.assert_allclose(b.to_numpy(), a.to_numpy(), rtol=1e-3, atol=1e-5)
