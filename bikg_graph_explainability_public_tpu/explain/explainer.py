@@ -264,9 +264,12 @@ class Explainer:
                     pathways, pathway_names, pathway_types
                 ).comp_graph(sub_names)
         else:
+            # graph problems explain the pooled prediction — no query element
+            # (reference runs extract_index only for node/edge problems,
+            # explainer.py:396-425)
             sub_graph = graph
             sub_names = list(names)
-            sub_query = extract_index(element, sub_names)
+            sub_query = 0
 
         # communities -> element indices within the computational graph
         sub_pathway_inds = None

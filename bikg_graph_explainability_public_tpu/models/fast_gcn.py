@@ -20,10 +20,11 @@ order) — asserted in tests.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.ell import (
     NeighborTable,
@@ -54,6 +55,184 @@ def _dense_adjacency(graph, dtype) -> jax.Array:
 #: below this padded node count, use the dense-adjacency MXU formulation
 DENSE_THRESHOLD = 4096
 
+#: skip the receptive-field plan when the degree-rows matrix would exceed
+#: this many entries (Ps x N_pad) — fall back to the unrestricted path
+_PLAN_DEG_ENTRY_CAP = 1 << 25
+
+
+class QueryPlan(NamedTuple):
+    """Receptive-field restriction for one query node.
+
+    A GCN output at the query depends only on nodes within L hops (L = conv
+    layers): conv layer ``i`` (0-based) needs rows at in-distance <= L-1-i,
+    the normalised mask scale ``s`` is read at distance <= L, and degrees at
+    distance <= L read raw mask bits of distance <= L+1 — exactly why the
+    reference extracts an (L+1)-hop computational graph (``data.py:328``).
+    Everything here is ordered by BFS in-distance with the query at row 0, so
+    each layer's support is a *prefix* and padding rows (next-nearest real
+    nodes) receive zero adjacency coefficients automatically.
+
+    vp:       [Ps] int32 node ids, distance-ordered (query first)
+    a_deg:    [Ps, N_pad] adjacency rows at vp (multiplicity, no self-loops)
+    a_layers: per conv layer i: [P_0, Ps] (i=0) / [P_i, P_{i-1}] (i>0)
+    p_sizes:  (P_0, ..., P_{L-1}) padded prefix lengths
+    """
+
+    vp: np.ndarray
+    a_deg: np.ndarray
+    a_layers: Tuple[np.ndarray, ...]
+    p_sizes: Tuple[int, ...]
+
+
+def _build_query_plan(graph, query: int, num_layers: int) -> Optional[QueryPlan]:
+    """Host-side BFS + adjacency slicing (numpy/C++; no device compiles)."""
+    from ..runtime import native
+
+    n = graph.n_pad
+    snd = np.asarray(graph.senders)[: graph.num_edges]
+    rcv = np.asarray(graph.receivers)[: graph.num_edges]
+    big = num_layers + 2
+    dist = np.full(n, big, np.int32)
+    reach_prev = np.zeros(n, bool)
+    for d in range(num_layers + 1):
+        r = native.khop_reachable(n, snd, rcv, query, d)
+        dist[r & ~reach_prev] = d
+        reach_prev = r
+    p_s = int((dist <= num_layers).sum())
+    p_s = min(max(8, -(-p_s // 8) * 8), n)
+    if p_s * n > _PLAN_DEG_ENTRY_CAP:
+        return None
+    order = np.argsort(dist, kind="stable").astype(np.int32)
+    vp = order[:p_s]
+    pos = np.full(n, -1, np.int64)
+    pos[vp] = np.arange(p_s)
+    p_sizes = []
+    prev = p_s
+    for i in range(num_layers):
+        k = int((dist <= num_layers - 1 - i).sum())
+        p = min(max(8, -(-k // 8) * 8), prev, n)
+        p_sizes.append(p)
+        prev = p
+    # adjacency slices (multi-edge multiplicity kept, self-loops dropped —
+    # identical conventions to _dense_adjacency / build_neighbor_table)
+    keep = snd != rcv
+    s_k, r_k = snd[keep], rcv[keep]
+    rcv_pos = pos[r_k]  # position of receiver in vp, -1 if outside
+    in_vp = rcv_pos >= 0
+    a_deg = np.zeros((p_s, n), np.float32)
+    np.add.at(a_deg, (rcv_pos[in_vp], s_k[in_vp]), 1.0)
+    a_layers = []
+    snd_pos = pos[s_k]
+    prev = p_s
+    for i, p in enumerate(p_sizes):
+        sel = (rcv_pos >= 0) & (rcv_pos < p) & (snd_pos >= 0) & (snd_pos < prev)
+        a_i = np.zeros((p, prev), np.float32)
+        np.add.at(a_i, (rcv_pos[sel], snd_pos[sel]), 1.0)
+        a_layers.append(a_i)
+        prev = p
+    # plans hold NUMPY arrays: they are cached across jit traces, and jnp
+    # constants created inside one trace must not leak into another
+    return QueryPlan(
+        vp=vp,
+        a_deg=a_deg,
+        a_layers=tuple(a_layers),
+        p_sizes=tuple(p_sizes),
+    )
+
+
+class EdgeQueryPlan(NamedTuple):
+    """Receptive-field restriction for edge-masked forwards.
+
+    Same BFS geometry as :class:`QueryPlan`, but the per-sample adjacency is
+    rebuilt from the edge mask as a one-hot contraction over the (few) edges
+    inside the ball: gathered mask bits [B, E_i] @ one-hot placement matrix
+    [E_i, P_i * P_{i-1}] -> the layer's per-sample adjacency.  (A batched
+    scatter-add formulation faults the TPU runtime inside ``lax.scan``;
+    one-hot matmuls are also the more MXU-native shape.)  deg rows likewise.
+    """
+
+    vp: np.ndarray
+    p_sizes: Tuple[int, ...]
+    deg_eid: np.ndarray
+    deg_onehot: np.ndarray
+    layer_eid: Tuple[np.ndarray, ...]
+    layer_onehot: Tuple[np.ndarray, ...]
+
+
+def _pad16(*arrays):
+    n = arrays[0].shape[0]
+    p = max(16, -(-n // 16) * 16)
+    val = np.zeros(p, np.float32)
+    val[:n] = 1.0
+    out = []
+    for a in arrays:
+        b = np.zeros(p, a.dtype)
+        b[:n] = a
+        out.append(b)
+    return out + [val]
+
+
+def _build_edge_query_plan(
+    graph, query: int, num_layers: int
+) -> Optional[EdgeQueryPlan]:
+    from ..runtime import native
+
+    n = graph.n_pad
+    snd = np.asarray(graph.senders)[: graph.num_edges]
+    rcv = np.asarray(graph.receivers)[: graph.num_edges]
+    dist = np.full(n, num_layers + 2, np.int32)
+    reach_prev = np.zeros(n, bool)
+    for d in range(num_layers + 1):
+        r = native.khop_reachable(n, snd, rcv, query, d)
+        dist[r & ~reach_prev] = d
+        reach_prev = r
+    p_s = int((dist <= num_layers).sum())
+    p_s = min(max(8, -(-p_s // 8) * 8), n)
+    order = np.argsort(dist, kind="stable").astype(np.int32)
+    vp = order[:p_s]
+    pos = np.full(n, -1, np.int64)
+    pos[vp] = np.arange(p_s)
+    p_sizes = []
+    prev = p_s
+    for i in range(num_layers):
+        k = int((dist <= num_layers - 1 - i).sum())
+        p = min(max(8, -(-k // 8) * 8), prev, n)
+        p_sizes.append(p)
+        prev = p
+    eids = np.arange(graph.num_edges, dtype=np.int32)
+    keep = snd != rcv
+    s_k, r_k, e_k = snd[keep], rcv[keep], eids[keep]
+    rcv_pos, snd_pos = pos[r_k], pos[s_k]
+
+    def onehot(sel_rows, sel_cols, sel_eid, rows, cols):
+        rp, cp, ei, val = _pad16(
+            sel_rows.astype(np.int32), sel_cols.astype(np.int32), sel_eid
+        )
+        oh = np.zeros((rp.shape[0], rows * cols), np.float32)
+        oh[np.arange(rp.shape[0]), rp * cols + cp] = val
+        return ei.astype(np.int32), oh
+
+    in_deg = rcv_pos >= 0
+    deg_eid, deg_onehot = onehot(
+        rcv_pos[in_deg], np.zeros(in_deg.sum(), np.int64), e_k[in_deg], p_s, 1
+    )
+    layer_eid, layer_onehot = [], []
+    prev = p_s
+    for p in p_sizes:
+        sel = (rcv_pos >= 0) & (rcv_pos < p) & (snd_pos >= 0) & (snd_pos < prev)
+        ei, oh = onehot(rcv_pos[sel], snd_pos[sel], e_k[sel], p, prev)
+        layer_eid.append(ei)
+        layer_onehot.append(oh)
+        prev = p
+    return EdgeQueryPlan(
+        vp=vp,
+        p_sizes=tuple(p_sizes),
+        deg_eid=deg_eid,
+        deg_onehot=deg_onehot,
+        layer_eid=tuple(layer_eid),
+        layer_onehot=tuple(layer_onehot),
+    )
+
 
 class FastBatchedGCN:
     """Batched masked forward engine for one (model, params, graph) triple.
@@ -78,9 +257,11 @@ class FastBatchedGCN:
         dtype=jnp.float32,
         mode: Optional[str] = None,
         backend: str = "xla",
+        restrict: bool = True,
     ):
         import numpy as np
 
+        self.restrict = restrict  # receptive-field query plans on/off
         self.model_def = model_def
         self.params = params
         self.graph = graph
@@ -107,6 +288,8 @@ class FastBatchedGCN:
         self.snd_sorted = jnp.asarray(col)  # senders grouped by receiver
         self.rcv_sorted = jnp.asarray(rcv[eid])
         self.eid_sorted = jnp.asarray(eid)  # original edge id per slot
+        self._plans: dict = {}  # query -> Optional[QueryPlan]
+        self._edge_plans: dict = {}  # query -> Optional[EdgeQueryPlan]
 
     def _coeffs(self, masks, is_edge: bool):
         fn = gcn_coeffs_from_edge_mask if is_edge else gcn_coeffs_from_node_mask
@@ -235,6 +418,127 @@ class FastBatchedGCN:
             h = relu(h)
         return h
 
+    def query_plan(self, query: int) -> Optional[QueryPlan]:
+        """Receptive-field plan for ``query`` (cached; None if infeasible)."""
+        q = int(query)
+        if q not in self._plans:
+            self._plans[q] = _build_query_plan(
+                self.graph, q, len(self.model_def.convs)
+            )
+        return self._plans[q]
+
+    def _restricted_outputs(self, masks: jax.Array, plan: QueryPlan) -> jax.Array:
+        """Node-masked forward on the query's receptive field only: [B] query
+        predictions.  Mathematically identical to the full forward (the
+        output cannot depend on nodes outside the field) at a fraction of the
+        FLOPs — the dominant [B,N,C] layer work shrinks to [B,P,C] with
+        P = padded ball size."""
+        m = masks.astype(jnp.float32)  # [B, N_pad]
+        mv = m[:, plan.vp]  # [B, Ps]
+        deg = 1.0 + mv * jnp.einsum(
+            "kn,bn->bk", plan.a_deg, m, preferred_element_type=jnp.float32
+        )
+        dis = jax.lax.rsqrt(deg)
+        self_w = dis * dis
+        s = mv * dis  # [B, Ps]
+        p0 = self.params["conv"][0]
+        xw0_v = self.xw0[plan.vp]  # [Ps, C1]
+        n0 = plan.p_sizes[0]
+        a0s = plan.a_layers[0][None] * s[:, None, :]  # [B, P0, Ps]
+        agg = jnp.einsum(
+            "bkv,vc->bkc", a0s, xw0_v, preferred_element_type=jnp.float32
+        )
+        h = s[:, :n0, None] * agg + self_w[:, :n0, None] * xw0_v[:n0]
+        if "bias" in p0:
+            h = h + p0["bias"]
+        h = relu(h)
+        prev = n0
+        for i, (conv, p) in enumerate(
+            zip(self.model_def.convs[1:], self.params["conv"][1:]), start=1
+        ):
+            hw = h[..., : conv.in_features] @ p["weight"].T  # [B, prev, C]
+            ni = plan.p_sizes[i]
+            agg = jnp.einsum(
+                "kv,bvc->bkc",
+                plan.a_layers[i],
+                s[:, :prev, None] * hw,
+                preferred_element_type=jnp.float32,
+            )
+            h = s[:, :ni, None] * agg + self_w[:, :ni, None] * hw[:, :ni]
+            if "bias" in p:
+                h = h + p["bias"]
+            h = relu(h)
+            prev = ni
+        # query sits at row 0 of every prefix
+        return self.model_def.head(self.params, h[:, 0, :])[:, 0]
+
+    def edge_query_plan(self, query: int) -> Optional[EdgeQueryPlan]:
+        q = int(query)
+        if q not in self._edge_plans:
+            self._edge_plans[q] = _build_edge_query_plan(
+                self.graph, q, len(self.model_def.convs)
+            )
+        return self._edge_plans[q]
+
+    def _restricted_edge_outputs(
+        self, masks: jax.Array, plan: EdgeQueryPlan
+    ) -> jax.Array:
+        """Edge-masked forward restricted to the query's receptive field.
+
+        The per-sample adjacency of each layer is rebuilt from the edge mask
+        by a one-hot contraction (reference edge-perturbation semantics:
+        drop masked edges, unit self-loops always on, ``data.py:500-554``).
+        """
+        m = masks.astype(jnp.float32)  # [B, E_pad]
+        b = m.shape[0]
+        deg = 1.0 + jnp.einsum(
+            "be,ek->bk",
+            m[:, plan.deg_eid],
+            plan.deg_onehot,
+            preferred_element_type=jnp.float32,
+        )
+        dis = jax.lax.rsqrt(deg)  # [B, Ps]
+        self_w = dis * dis
+        xw0_v = self.xw0[plan.vp]
+        p0 = self.params["conv"][0]
+
+        def layer_adj(i, prev, ni):
+            a = jnp.einsum(
+                "be,ep->bp",
+                m[:, plan.layer_eid[i]],
+                plan.layer_onehot[i],
+                preferred_element_type=jnp.float32,
+            ).reshape(b, ni, prev)
+            return a * dis[:, :ni, None] * dis[:, None, :prev]
+
+        n0 = plan.p_sizes[0]
+        a0s = layer_adj(0, plan.vp.shape[0], n0)
+        agg = jnp.einsum(
+            "bkv,vc->bkc", a0s, xw0_v, preferred_element_type=jnp.float32
+        )
+        h = agg + self_w[:, :n0, None] * xw0_v[:n0]
+        if "bias" in p0:
+            h = h + p0["bias"]
+        h = relu(h)
+        prev = n0
+        for i, (conv, p) in enumerate(
+            zip(self.model_def.convs[1:], self.params["conv"][1:]), start=1
+        ):
+            hw = h[..., : conv.in_features] @ p["weight"].T
+            ni = plan.p_sizes[i]
+            agg = jnp.einsum(
+                "bkv,bvc->bkc",
+                layer_adj(i, prev, ni),
+                hw,
+                preferred_element_type=jnp.float32,
+            )
+            h = agg + self_w[:, :ni, None] * hw[:, :ni]
+            if "bias" in p:
+                h = h + p["bias"]
+            h = relu(h)
+            prev = ni
+        return self.model_def.head(self.params, h[:, 0, :])[:, 0]
+
     def query_outputs(
         self,
         masks: jax.Array,
@@ -245,6 +549,27 @@ class FastBatchedGCN:
         """[B] query predictions (or pooled graph predictions)."""
         is_edge = "edge" in problem
         is_graph = "graph" in problem
+        if self.restrict and not is_graph and isinstance(query, (int, np.integer)):
+            plan = (
+                self.edge_query_plan(int(query))
+                if is_edge
+                else self.query_plan(int(query))
+            )
+            if plan is not None:
+                step = (
+                    self._restricted_edge_outputs
+                    if is_edge
+                    else self._restricted_outputs
+                )
+                m_total = masks.shape[0]
+                if m_total % chunk_size == 0 and m_total > chunk_size:
+                    chunks = masks.reshape(
+                        m_total // chunk_size, chunk_size, masks.shape[1]
+                    )
+                    return jax.lax.map(
+                        lambda c: step(c, plan), chunks
+                    ).reshape(m_total)
+                return step(masks, plan)
         nvalid = self.graph.node_mask.astype(jnp.float32)
         # hoist the batch-shared gather OUT of the chunk loop
         g0 = self.xw0[self.table.nbr] if self.mode != "dense" else None

@@ -73,7 +73,7 @@ class TestFastPathParity:
         default to dense mode)."""
         g, mdef, params = _setup(conv_channels=(8, 8), seed=60)
         slow = px.Model(mdef, params, fast=False)
-        eng = FastBatchedGCN(mdef, params, g, mode="ell")
+        eng = FastBatchedGCN(mdef, params, g, mode="ell", restrict=False)
         sampler = MaskSampler(30, g.n_pad, {"interpret_samples": 16, "epochs": 4}, None)
         masks, _, _ = sampler.sample(jax.random.PRNGKey(60))
         a = np.asarray(slow.perturbed_query_outputs(g, masks, "node_prediction", 5))
@@ -83,7 +83,7 @@ class TestFastPathParity:
     def test_forced_ell_mode_edge_problem(self):
         g, mdef, params = _setup(conv_channels=(8, 8), seed=61)
         slow = px.Model(mdef, params, fast=False)
-        eng = FastBatchedGCN(mdef, params, g, mode="ell")
+        eng = FastBatchedGCN(mdef, params, g, mode="ell", restrict=False)
         sampler = MaskSampler(
             g.num_edges, g.e_pad, {"interpret_samples": 16, "epochs": 4}, None
         )
@@ -100,3 +100,65 @@ class TestFastPathParity:
         out = np.asarray(eng.query_outputs(masks, 4))
         assert out.shape == (16,)
         assert np.isfinite(out).all()
+
+
+class TestReceptiveFieldPlans:
+    """The query-plan restricted paths must equal the unrestricted engine
+    exactly (the query output cannot depend on nodes outside its ball)."""
+
+    def _engines(self, conv_channels, n=40, e=160, f=10, seed=70, self_loops=True):
+        feat, ei, _ = make_graph(n=n, f=f, e=e, seed=seed, self_loops=self_loops)
+        # add duplicate edges (multigraph multiplicity must be preserved)
+        ei = np.concatenate([ei, ei[:, :7]], axis=1)
+        g = from_arrays(feat, ei)
+        mdef = px.GCNNodeModel(f, conv_channels=conv_channels,
+                               fc_channels=(conv_channels[-1], 8))
+        params = mdef.init(jax.random.PRNGKey(seed))
+        fast = FastBatchedGCN(mdef, params, g)
+        ref = FastBatchedGCN(mdef, params, g, restrict=False)
+        return g, fast, ref
+
+    def _masks(self, g, width, n_el, seed):
+        sampler = MaskSampler(n_el, width, {"interpret_samples": 12, "epochs": 4}, None)
+        masks, _, _ = sampler.sample(jax.random.PRNGKey(seed))
+        return masks
+
+    def test_node_plan_three_layers(self):
+        g, fast, ref = self._engines((8, 8, 8), seed=71)
+        masks = self._masks(g, g.n_pad, g.num_nodes, 71)
+        for q in (0, 5, g.num_nodes - 1):
+            plan = fast.query_plan(q)
+            assert plan is not None and plan.p_sizes[-1] >= 8
+            a = np.asarray(ref.query_outputs(masks, q, "node_prediction"))
+            b = np.asarray(fast.query_outputs(masks, q, "node_prediction"))
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    def test_edge_plan_two_layers(self):
+        g, fast, ref = self._engines((8, 8), seed=72)
+        masks = self._masks(g, g.e_pad, g.num_edges, 72)
+        for q in (0, 3):
+            a = np.asarray(ref.query_outputs(masks, q, "edge_prediction"))
+            b = np.asarray(fast.query_outputs(masks, q, "edge_prediction"))
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    def test_isolated_query_node(self):
+        """A node with no in-edges: plan ball is just the node itself."""
+        feat = np.random.default_rng(0).normal(size=(12, 6)).astype(np.float32)
+        ei = np.array([[1, 2, 3, 4], [2, 3, 4, 1]])  # node 0 isolated
+        g = from_arrays(feat, ei)
+        mdef = px.GCNNodeModel(6, conv_channels=(4, 4), fc_channels=(4, 4))
+        params = mdef.init(jax.random.PRNGKey(3))
+        fast = FastBatchedGCN(mdef, params, g)
+        ref = FastBatchedGCN(mdef, params, g, restrict=False)
+        masks = self._masks(g, g.n_pad, g.num_nodes, 73)
+        a = np.asarray(ref.query_outputs(masks, 0, "node_prediction"))
+        b = np.asarray(fast.query_outputs(masks, 0, "node_prediction"))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    def test_ell_mode_uses_plan(self):
+        g, fast, ref = self._engines((8, 8), seed=74)
+        eng = FastBatchedGCN(fast.model_def, fast.params, g, mode="ell")
+        masks = self._masks(g, g.n_pad, g.num_nodes, 74)
+        a = np.asarray(ref.query_outputs(masks, 2, "node_prediction"))
+        b = np.asarray(eng.query_outputs(masks, 2, "node_prediction"))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
