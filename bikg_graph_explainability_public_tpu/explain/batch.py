@@ -24,13 +24,13 @@ import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
-from ..graph import Graph
 from ..models.gnn import GCNNodeModel
 from ..ops.khop import extract_khop_subgraph
 from ..utils.padding import round_up_pow2
 from ..utils.prng import repeat_key
 from .kernels import shap_kernel
 from .wlm import init_surrogate_weights, train_surrogate
+from ..graph import Graph, host_view
 
 
 def _stack_subgraphs(graph: Graph, queries: Sequence[int], n_hops: int):
@@ -49,9 +49,10 @@ def _stack_subgraphs(graph: Graph, queries: Sequence[int], n_hops: int):
     for i, s in enumerate(subs):
         g = s.graph
         n = g.num_nodes
-        xs[i, :n] = np.asarray(g.x)[:n]
-        snd = np.asarray(g.senders)[: g.num_edges]
-        rcv = np.asarray(g.receivers)[: g.num_edges]
+        hv = host_view(g)
+        xs[i, :n] = hv.x[:n]
+        snd = hv.senders[: g.num_edges]
+        rcv = hv.receivers[: g.num_edges]
         keep = snd != rcv
         np.add.at(adjs[i], (rcv[keep], snd[keep]), 1.0)
         qidx[i] = s.query

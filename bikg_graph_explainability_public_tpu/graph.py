@@ -37,6 +37,56 @@ def _as_np(a) -> np.ndarray:
     return np.asarray(a)
 
 
+class HostView:
+    """Host (numpy) copies of a graph's arrays, fetched at most once.
+
+    Every device→host read of a remote-TPU buffer is an RPC (~10 ms through
+    the axon tunnel); host-side planning code (k-hop extraction, query plans,
+    neighbour tables) reads the same arrays per query, so the fetches are
+    memoised per Graph instance (weakly — a collected Graph drops its view).
+    """
+
+    __slots__ = ("_graph", "_cache")
+
+    def __init__(self, graph: "Graph"):
+        self._graph = graph
+        self._cache: Dict[str, np.ndarray] = {}
+
+    def __getattr__(self, name: str) -> np.ndarray:
+        cache = object.__getattribute__(self, "_cache")
+        if name not in cache:
+            cache[name] = np.asarray(getattr(self._graph, name))
+        return cache[name]
+
+
+import weakref  # noqa: E402
+
+_HOST_VIEWS: Dict[int, Tuple[Any, HostView]] = {}
+
+
+def host_view(graph: "Graph") -> HostView:
+    """The memoised :class:`HostView` for ``graph``."""
+    key = id(graph)
+    entry = _HOST_VIEWS.get(key)
+    if entry is not None and entry[0]() is graph:
+        return entry[1]
+    if len(_HOST_VIEWS) > 64:  # prune dead entries
+        for k in [k for k, (ref, _) in _HOST_VIEWS.items() if ref() is None]:
+            del _HOST_VIEWS[k]
+    hv = HostView(graph)
+    _HOST_VIEWS[key] = (weakref.ref(graph), hv)
+    return hv
+
+
+def seed_host_view(graph: "Graph", **arrays: np.ndarray) -> "Graph":
+    """Pre-populate ``graph``'s :class:`HostView` with the numpy arrays it
+    was just built from, so later host-side planning never round-trips them
+    through the device.  Returns ``graph`` for chaining."""
+    hv = host_view(graph)
+    hv._cache.update(arrays)
+    return graph
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class Graph:
@@ -158,17 +208,30 @@ def from_arrays(
     if edge_type is not None:
         et[:e] = _as_np(edge_type).astype(np.int32)
 
-    return Graph(
-        x=jnp.asarray(x),
-        senders=jnp.asarray(snd),
-        receivers=jnp.asarray(rcv),
-        node_mask=jnp.asarray(nmask),
-        edge_mask=jnp.asarray(emask),
-        node_type=jnp.asarray(nt),
-        edge_type=jnp.asarray(et),
+    x_d, snd_d, rcv_d, nm_d, em_d, nt_d, et_d = jax.device_put(
+        (x, snd, rcv, nmask, emask, nt, et)
+    )
+    g = Graph(
+        x=x_d,
+        senders=snd_d,
+        receivers=rcv_d,
+        node_mask=nm_d,
+        edge_mask=em_d,
+        node_type=nt_d,
+        edge_type=et_d,
         num_nodes=int(n),
         num_edges=int(e),
         typed=bool(typed),
+    )
+    return seed_host_view(
+        g,
+        x=x,
+        senders=snd,
+        receivers=rcv,
+        node_mask=nmask,
+        edge_mask=emask,
+        node_type=nt,
+        edge_type=et,
     )
 
 

@@ -36,6 +36,7 @@ from ..ops.ell import (
 )
 from .gnn import GCNNodeModel
 from .layers import relu
+from ..graph import host_view
 
 
 def _dense_adjacency(graph, dtype) -> jax.Array:
@@ -44,8 +45,9 @@ def _dense_adjacency(graph, dtype) -> jax.Array:
     import numpy as np
 
     n = graph.n_pad
-    snd = np.asarray(graph.senders)[: graph.num_edges]
-    rcv = np.asarray(graph.receivers)[: graph.num_edges]
+    hv = host_view(graph)
+    snd = hv.senders[: graph.num_edges]
+    rcv = hv.receivers[: graph.num_edges]
     keep = snd != rcv
     a = np.zeros((n, n), np.float32)
     np.add.at(a, (rcv[keep], snd[keep]), 1.0)
@@ -89,8 +91,9 @@ def _build_query_plan(graph, query: int, num_layers: int) -> Optional[QueryPlan]
     from ..runtime import native
 
     n = graph.n_pad
-    snd = np.asarray(graph.senders)[: graph.num_edges]
-    rcv = np.asarray(graph.receivers)[: graph.num_edges]
+    hv = host_view(graph)
+    snd = hv.senders[: graph.num_edges]
+    rcv = hv.receivers[: graph.num_edges]
     big = num_layers + 2
     dist = np.full(n, big, np.int32)
     reach_prev = np.zeros(n, bool)
@@ -178,8 +181,9 @@ def _build_edge_query_plan(
     from ..runtime import native
 
     n = graph.n_pad
-    snd = np.asarray(graph.senders)[: graph.num_edges]
-    rcv = np.asarray(graph.receivers)[: graph.num_edges]
+    hv = host_view(graph)
+    snd = hv.senders[: graph.num_edges]
+    rcv = hv.receivers[: graph.num_edges]
     dist = np.full(n, num_layers + 2, np.int32)
     reach_prev = np.zeros(n, bool)
     for d in range(num_layers + 1):
@@ -272,7 +276,7 @@ class FastBatchedGCN:
         self.backend = backend  # "xla" | "pallas" (dense mode only)
         # host-side precompute (numpy — no device compiles at init time)
         w0 = np.asarray(params["conv"][0]["weight"])
-        x_np = np.asarray(graph.x)[:, : model_def.convs[0].in_features]
+        x_np = host_view(graph).x[:, : model_def.convs[0].in_features]
         self.xw0 = jnp.asarray(x_np @ w0.T, dtype=dtype)  # [N, C1]
         self.table = build_neighbor_table(graph)
         self.adj = _dense_adjacency(graph, dtype) if mode == "dense" else None
@@ -280,8 +284,9 @@ class FastBatchedGCN:
         # (also used by edge problems on dense-mode engines): segment-sum over
         # sorted segments beats the unsorted scatter ~1.5x, and the
         # per-sample ELL gather would materialise [B,N,K,F]
-        snd = np.asarray(graph.senders)[: graph.num_edges]
-        rcv = np.asarray(graph.receivers)[: graph.num_edges]
+        hv = host_view(graph)
+        snd = hv.senders[: graph.num_edges]
+        rcv = hv.receivers[: graph.num_edges]
         from ..runtime import native
 
         _row_ptr, col, eid = native.build_csr(graph.n_pad, snd, rcv)

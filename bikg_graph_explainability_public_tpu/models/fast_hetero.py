@@ -16,7 +16,7 @@ pathway_explanations/model.py:196-249``).
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -24,13 +24,34 @@ import numpy as np
 
 from .gnn import HeteroGNN
 from .layers import GCNConv, relu
+from ..graph import host_view
+
+
+class HeteroQueryPlan(NamedTuple):
+    """Receptive-field restriction for one query node (hetero variant).
+
+    Same geometry as :class:`.fast_gcn.QueryPlan` — BFS in-distance over the
+    union of all relations, prefix-ordered supports — with per-relation
+    adjacency slices stacked on a leading R axis.  Host numpy (cached across
+    traces)."""
+
+    vp: np.ndarray  # [Ps]
+    a_deg: np.ndarray  # [R, Ps, N_pad]
+    a_layers: Tuple[np.ndarray, ...]  # [R, P_0, Ps] then [R, P_i, P_{i-1}]
+    p_sizes: Tuple[int, ...]
+    scope_v: np.ndarray  # [R, Ps]
 
 
 class FastBatchedHeteroGCN:
     """Batched masked forward engine for HeteroGNN models whose convs are all
     GCNConv (the architecture of the reference's trained hetero checkpoint)."""
 
-    def __init__(self, model_def: HeteroGNN, params, graph, dtype=jnp.float32):
+    def __init__(
+        self, model_def: HeteroGNN, params, graph, dtype=jnp.float32,
+        restrict: bool = True,
+    ):
+        self.restrict = restrict
+        self._plans: dict = {}
         if not all(
             isinstance(c, GCNConv) for layer in model_def.conv_layers for c in layer.values()
         ):
@@ -41,10 +62,11 @@ class FastBatchedHeteroGCN:
         self.dtype = dtype
 
         n = graph.n_pad
-        snd = np.asarray(graph.senders)[: graph.num_edges]
-        rcv = np.asarray(graph.receivers)[: graph.num_edges]
-        et = np.asarray(graph.edge_type)[: graph.num_edges]
-        nt = np.asarray(graph.node_type)
+        hv = host_view(graph)
+        snd = hv.senders[: graph.num_edges]
+        rcv = hv.receivers[: graph.num_edges]
+        et = hv.edge_type[: graph.num_edges]
+        nt = hv.node_type
 
         rels = model_def.relations
         adjs = np.zeros((len(rels), n, n), np.float32)
@@ -53,7 +75,7 @@ class FastBatchedHeteroGCN:
             keep = (et == ri) & (snd != rcv)
             np.add.at(adjs[ri], (rcv[keep], snd[keep]), 1.0)
             dst_type = model_def.node_type_names.index(rel[-1])
-            scopes[ri] = (nt == dst_type) & np.asarray(graph.node_mask)
+            scopes[ri] = (nt == dst_type) & hv.node_mask
         self.adj = jnp.asarray(adjs, dtype=dtype)  # [R, N, N]
         self.scope = jnp.asarray(scopes)  # [R, N]
 
@@ -62,8 +84,135 @@ class FastBatchedHeteroGCN:
         xw0 = []
         for rel, conv in layer0.items():
             w = np.asarray(params["conv"][0]["__".join(rel)]["weight"])
-            xw0.append(np.asarray(graph.x)[:, : conv.in_features] @ w.T)
+            xw0.append(hv.x[:, : conv.in_features] @ w.T)
         self.xw0 = jnp.asarray(np.stack(xw0), dtype=dtype)  # [R, N, C1]
+
+    def query_plan(self, query: int) -> Optional[HeteroQueryPlan]:
+        """Cached receptive-field plan (see :mod:`.fast_gcn`); BFS runs over
+        the union of all relations, slices are per-relation."""
+        q = int(query)
+        if q in self._plans:
+            return self._plans[q]
+        from ..runtime import native
+        from .fast_gcn import _PLAN_DEG_ENTRY_CAP
+
+        graph = self.graph
+        num_layers = len(self.model_def.conv_layers)
+        n = graph.n_pad
+        hv = host_view(graph)
+        snd = hv.senders[: graph.num_edges]
+        rcv = hv.receivers[: graph.num_edges]
+        et = hv.edge_type[: graph.num_edges]
+        dist = np.full(n, num_layers + 2, np.int32)
+        reach_prev = np.zeros(n, bool)
+        for d in range(num_layers + 1):
+            r = native.khop_reachable(n, snd, rcv, q, d)
+            dist[r & ~reach_prev] = d
+            reach_prev = r
+        p_s = int((dist <= num_layers).sum())
+        p_s = min(max(8, -(-p_s // 8) * 8), n)
+        nrel = len(self.model_def.relations)
+        plan = None
+        if p_s * n * nrel <= _PLAN_DEG_ENTRY_CAP:
+            order = np.argsort(dist, kind="stable").astype(np.int32)
+            vp = order[:p_s]
+            pos = np.full(n, -1, np.int64)
+            pos[vp] = np.arange(p_s)
+            p_sizes = []
+            prev = p_s
+            for i in range(num_layers):
+                k = int((dist <= num_layers - 1 - i).sum())
+                p = min(max(8, -(-k // 8) * 8), prev, n)
+                p_sizes.append(p)
+                prev = p
+            keep_ns = snd != rcv
+            a_deg = np.zeros((nrel, p_s, n), np.float32)
+            a_layers = []
+            rcv_pos, snd_pos = pos[rcv], pos[snd]
+            for ri in range(nrel):
+                keep = keep_ns & (et == ri) & (rcv_pos >= 0)
+                np.add.at(a_deg[ri], (rcv_pos[keep], snd[keep]), 1.0)
+            prev = p_s
+            for p in p_sizes:
+                a_i = np.zeros((nrel, p, prev), np.float32)
+                for ri in range(nrel):
+                    sel = (
+                        keep_ns
+                        & (et == ri)
+                        & (rcv_pos >= 0)
+                        & (rcv_pos < p)
+                        & (snd_pos >= 0)
+                        & (snd_pos < prev)
+                    )
+                    np.add.at(a_i[ri], (rcv_pos[sel], snd_pos[sel]), 1.0)
+                a_layers.append(a_i)
+                prev = p
+            scope_v = np.asarray(self.scope)[:, vp]
+            plan = HeteroQueryPlan(
+                vp=vp,
+                a_deg=a_deg,
+                a_layers=tuple(a_layers),
+                p_sizes=tuple(p_sizes),
+                scope_v=scope_v,
+            )
+        self._plans[q] = plan
+        return plan
+
+    def _restricted_outputs(
+        self, masks: jax.Array, plan: HeteroQueryPlan
+    ) -> jax.Array:
+        """[B] query predictions on the receptive field only (exact)."""
+        m = masks.astype(jnp.float32)  # [B, N]
+        mv = m[:, plan.vp]  # [B, Ps]
+        neigh = jnp.einsum(
+            "rkn,bn->rbk", plan.a_deg, m, preferred_element_type=jnp.float32
+        )
+        deg = plan.scope_v[:, None, :] + mv[None] * neigh  # [R, B, Ps]
+        dis = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-30)), 0.0)
+        s = mv[None] * dis  # [R, B, Ps]
+        self_w = plan.scope_v[:, None, :] * dis * dis
+        xw0_v = self.xw0[:, plan.vp]  # [R, Ps, C1]
+
+        n0 = plan.p_sizes[0]
+        scaled = s[:, :, :, None] * xw0_v[:, None].astype(jnp.float32)
+        agg = jnp.einsum(
+            "rkv,rbvc->rbkc",
+            plan.a_layers[0],
+            scaled,
+            preferred_element_type=jnp.float32,
+        )
+        layer0 = self.model_def.conv_layers[0]
+        h = None
+        for ri, (rel, conv) in enumerate(layer0.items()):
+            p = self.params["conv"][0]["__".join(rel)]
+            contrib = (
+                s[ri][:, :n0, None] * agg[ri]
+                + self_w[ri][:, :n0, None] * xw0_v[ri][:n0].astype(jnp.float32)
+            )
+            if "bias" in p:
+                contrib = contrib + p["bias"] * plan.scope_v[ri][None, :n0, None]
+            h = contrib if h is None else h + contrib
+        h = relu(h)
+        prev = n0
+        for li, layer in enumerate(self.model_def.conv_layers[1:], start=1):
+            ni = plan.p_sizes[li]
+            out = None
+            for ri, (rel, conv) in enumerate(layer.items()):
+                p = self.params["conv"][li]["__".join(rel)]
+                hw = h[..., : conv.in_features] @ p["weight"].T  # [B, prev, C]
+                agg = jnp.einsum(
+                    "kv,bvc->bkc",
+                    plan.a_layers[li][ri],
+                    s[ri][:, :prev, None] * hw,
+                    preferred_element_type=jnp.float32,
+                )
+                contrib = s[ri][:, :ni, None] * agg + self_w[ri][:, :ni, None] * hw[:, :ni]
+                if "bias" in p:
+                    contrib = contrib + p["bias"] * plan.scope_v[ri][None, :ni, None]
+                out = contrib if out is None else out + contrib
+            h = relu(out)
+            prev = ni
+        return self.model_def.head(self.params, h[:, 0, :])[:, 0]
 
     def _layer_terms(self, masks: jax.Array):
         m = masks.astype(jnp.float32)  # [B, N]
@@ -123,6 +272,18 @@ class FastBatchedHeteroGCN:
         chunk_size: int = 128,
     ) -> jax.Array:
         is_graph = "graph" in problem
+        if self.restrict and not is_graph and isinstance(query, (int, np.integer)):
+            plan = self.query_plan(int(query))
+            if plan is not None:
+                m_total = masks.shape[0]
+                if m_total % chunk_size == 0 and m_total > chunk_size:
+                    chunks = masks.reshape(
+                        m_total // chunk_size, chunk_size, masks.shape[1]
+                    )
+                    return jax.lax.map(
+                        lambda c: self._restricted_outputs(c, plan), chunks
+                    ).reshape(m_total)
+                return self._restricted_outputs(masks, plan)
         nvalid = self.graph.node_mask.astype(jnp.float32)
 
         def run_chunk(mchunk):

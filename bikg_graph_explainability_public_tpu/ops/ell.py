@@ -24,6 +24,7 @@ import numpy as np
 
 from ..runtime import native
 from ..utils.padding import round_up
+from ..graph import host_view
 
 
 class NeighborTable(NamedTuple):
@@ -49,8 +50,9 @@ def build_neighbor_table(
 ) -> NeighborTable:
     """Build the table host-side from a :class:`..graph.Graph` (valid edges
     only).  ``k`` defaults to max in-degree rounded up to a multiple of 8."""
-    snd = np.asarray(graph.senders)[: graph.num_edges]
-    rcv = np.asarray(graph.receivers)[: graph.num_edges]
+    hv = host_view(graph)
+    snd = hv.senders[: graph.num_edges]
+    rcv = hv.receivers[: graph.num_edges]
     eids = np.arange(graph.num_edges, dtype=np.int32)
     if drop_self_loops:
         keep = snd != rcv

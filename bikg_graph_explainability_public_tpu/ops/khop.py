@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..graph import Graph
+from ..graph import Graph, host_view, seed_host_view
 from ..utils.padding import pad_budget
 
 
@@ -51,11 +51,12 @@ def khop_reachable(
 class Subgraph(NamedTuple):
     graph: Graph
     # position of each kept node in the parent graph, padded with parent n_pad
-    parent_nodes: jax.Array
+    # (host numpy — only read host-side, never shipped to the device)
+    parent_nodes: np.ndarray
     # new index of the query node
     query: int
-    # [E_parent] bool: which parent edges were kept
-    parent_edge_mask: jax.Array
+    # [E_parent] bool: which parent edges were kept (host numpy)
+    parent_edge_mask: np.ndarray
 
 
 def extract_khop_subgraph(
@@ -78,8 +79,9 @@ def extract_khop_subgraph(
     if host_bfs:
         from ..runtime import native
 
-        snd_h = np.asarray(graph.senders)[: graph.num_edges]
-        rcv_h = np.asarray(graph.receivers)[: graph.num_edges]
+        hv = host_view(graph)
+        snd_h = hv.senders[: graph.num_edges]
+        rcv_h = hv.receivers[: graph.num_edges]
         reach = native.khop_reachable(graph.n_pad, snd_h, rcv_h, int(query), n_hops)
     else:
         reach = np.asarray(
@@ -92,10 +94,11 @@ def extract_khop_subgraph(
                 graph.n_pad,
             )
         ).copy()
-    reach &= np.asarray(graph.node_mask)
-    snd = np.asarray(graph.senders)
-    rcv = np.asarray(graph.receivers)
-    keep_edge = reach[snd] & reach[rcv] & np.asarray(graph.edge_mask)
+    hv = host_view(graph)
+    reach &= hv.node_mask
+    snd = hv.senders
+    rcv = hv.receivers
+    keep_edge = reach[snd] & reach[rcv] & hv.edge_mask
 
     kept_nodes = np.nonzero(reach)[0]  # ascending → matches PyG relabel order
     n_sub = int(kept_nodes.shape[0])
@@ -111,7 +114,7 @@ def extract_khop_subgraph(
     e_pad = pad_budget(max(e_sub, 1), pad_mode, 8)
 
     x = np.zeros((n_pad, graph.num_features), np.float32)
-    x[:n_sub] = np.asarray(graph.x)[kept_nodes]
+    x[:n_sub] = hv.x[kept_nodes]
     new_snd = np.zeros((e_pad,), np.int32)
     new_rcv = np.zeros((e_pad,), np.int32)
     new_et = np.zeros((e_pad,), np.int32)
@@ -122,31 +125,46 @@ def extract_khop_subgraph(
     else:
         new_snd[:e_sub] = relabel[snd[kept_edges]]
         new_rcv[:e_sub] = relabel[rcv[kept_edges]]
-        new_et[:e_sub] = np.asarray(graph.edge_type)[kept_edges]
+        new_et[:e_sub] = hv.edge_type[kept_edges]
     nmask = np.zeros((n_pad,), bool)
     nmask[:n_sub] = True
     emask = np.zeros((e_pad,), bool)
     emask[:e_sub] = True
     nt = np.zeros((n_pad,), np.int32)
-    nt[:n_sub] = np.asarray(graph.node_type)[kept_nodes]
+    nt[:n_sub] = hv.node_type[kept_nodes]
 
+    parent_nodes = np.full((n_pad,), graph.n_pad, np.int64)
+    parent_nodes[:n_sub] = kept_nodes
+    # ONE batched transfer: per-array device_put is an RPC each through the
+    # remote-TPU tunnel
+    (x_d, snd_d, rcv_d, nm_d, em_d, nt_d, et_d) = jax.device_put(
+        (x, new_snd, new_rcv, nmask, emask, nt, new_et)
+    )
     sub = Graph(
-        x=jnp.asarray(x),
-        senders=jnp.asarray(new_snd),
-        receivers=jnp.asarray(new_rcv),
-        node_mask=jnp.asarray(nmask),
-        edge_mask=jnp.asarray(emask),
-        node_type=jnp.asarray(nt),
-        edge_type=jnp.asarray(new_et),
+        x=x_d,
+        senders=snd_d,
+        receivers=rcv_d,
+        node_mask=nm_d,
+        edge_mask=em_d,
+        node_type=nt_d,
+        edge_type=et_d,
         num_nodes=n_sub,
         num_edges=e_sub,
         typed=graph.typed,
     )
-    parent_nodes = np.full((n_pad,), graph.n_pad, np.int64)
-    parent_nodes[:n_sub] = kept_nodes
+    seed_host_view(
+        sub,
+        x=x,
+        senders=new_snd,
+        receivers=new_rcv,
+        node_mask=nmask,
+        edge_mask=emask,
+        node_type=nt,
+        edge_type=new_et,
+    )
     return Subgraph(
         graph=sub,
-        parent_nodes=jnp.asarray(parent_nodes),
+        parent_nodes=parent_nodes,
         query=new_query,
-        parent_edge_mask=jnp.asarray(keep_edge),
+        parent_edge_mask=keep_edge,
     )

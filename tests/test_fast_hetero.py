@@ -98,3 +98,22 @@ class TestFastHeteroParity:
             g, masks, "node_prediction", 1
         )
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestHeteroReceptiveFieldPlan:
+    def _check(self, conv_channels, seed):
+        g, mdef, params = _two_type_setup(seed=seed, conv_channels=conv_channels)
+        fast = FastBatchedHeteroGCN(mdef, params, g)
+        ref = FastBatchedHeteroGCN(mdef, params, g, restrict=False)
+        rng = np.random.default_rng(seed)
+        masks = rng.random((24, g.n_pad)) > 0.4
+        for q in (0, 3, g.num_nodes - 1):
+            a = np.asarray(ref.query_outputs(masks, q))
+            b = np.asarray(fast.query_outputs(masks, q))
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+    def test_one_layer(self):
+        self._check((6,), 83)
+
+    def test_two_layers(self):
+        self._check((6, 6), 84)

@@ -98,3 +98,40 @@ class TestHetero:
         np.testing.assert_array_equal(types, [0, 0, 1, 1, 1])
         homo2, types2 = hetero_names_to_homo(["a", "b"])
         assert homo2 == ["a", "b"] and types2 is None
+
+
+class TestHostView:
+    def test_seeded_no_refetch(self):
+        import bikg_graph_explainability_public_tpu.graph as G
+
+        feat = np.random.default_rng(0).normal(size=(10, 4)).astype(np.float32)
+        ei = np.array([[0, 1, 2], [1, 2, 3]])
+        g = G.from_arrays(feat, ei)
+        hv = G.host_view(g)
+        # from_arrays seeds every field: no device fetch should be needed
+        assert set(hv._cache) >= {
+            "x", "senders", "receivers", "node_mask", "edge_mask",
+            "node_type", "edge_type",
+        }
+        assert isinstance(hv.x, np.ndarray)
+        np.testing.assert_array_equal(hv.senders[:3], [0, 1, 2])
+
+    def test_memoised_per_instance(self):
+        import bikg_graph_explainability_public_tpu.graph as G
+
+        feat = np.zeros((4, 2), np.float32)
+        ei = np.array([[0], [1]])
+        g1 = G.from_arrays(feat, ei)
+        g2 = G.from_arrays(feat, ei)
+        assert G.host_view(g1) is G.host_view(g1)
+        assert G.host_view(g1) is not G.host_view(g2)
+
+    def test_unseeded_fetch(self):
+        import jax.numpy as jnp
+        import bikg_graph_explainability_public_tpu.graph as G
+
+        feat = np.arange(8, dtype=np.float32).reshape(4, 2)
+        g = G.from_arrays(feat, np.array([[0], [1]]))
+        g2 = g.with_features(jnp.asarray(feat) * 2)  # new instance, unseeded
+        hv = G.host_view(g2)
+        np.testing.assert_allclose(hv.x[:4], feat * 2)
