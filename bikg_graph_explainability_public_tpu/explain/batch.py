@@ -183,12 +183,18 @@ def explain_many(
     names: Optional[Sequence[str]] = None,
     times: int = 1,
     chunk: int = 250,
+    mesh=None,
 ) -> List[pd.DataFrame]:
     """Explain Q node queries with one vmapped program per repeat.
 
     ``model``: a :class:`..models.adapter.Model` wrapping a GCNNodeModel.
     Returns one sorted DataFrame per query (same schema as
     ``Explainer.run``).
+
+    ``mesh``: an optional :class:`jax.sharding.Mesh` — the query axis shards
+    over its first axis (queries are embarrassingly parallel, so scaling is
+    linear in devices with zero communication; Q is padded to a multiple of
+    the axis size by repeating the last query).
     """
     model_def = model.model_def
     if not isinstance(model_def, GCNNodeModel):
@@ -213,17 +219,40 @@ def explain_many(
         )
     )
 
+    qn = len(queries)
+    q_run = qn
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        size = int(mesh.shape[axis])
+        q_run = -(-qn // size) * size
+        if q_run != qn:
+            xs = np.concatenate([xs, np.repeat(xs[-1:], q_run - qn, 0)])
+            adjs = np.concatenate([adjs, np.repeat(adjs[-1:], q_run - qn, 0)])
+            qidx = np.concatenate([qidx, np.repeat(qidx[-1:], q_run - qn)])
+            nvalid = np.concatenate([nvalid, np.repeat(nvalid[-1:], q_run - qn)])
+
+        def put(a):
+            spec = P(axis, *([None] * (a.ndim - 1)))
+            return jax.device_put(a, NamedSharding(mesh, spec))
+
+        xs_d, adjs_d, qidx_d, nvalid_d = put(xs), put(adjs), put(qidx), put(nvalid)
+    else:
+        xs_d, adjs_d = jnp.asarray(xs), jnp.asarray(adjs)
+        qidx_d, nvalid_d = jnp.asarray(qidx), jnp.asarray(nvalid)
+
     weights_reps = []
     for t in range(times):
         key = repeat_key(seed, t)
-        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
-            jnp.arange(len(queries))
-        )
-        weights_reps.append(
-            np.asarray(
-                run_q(jnp.asarray(xs), jnp.asarray(adjs), jnp.asarray(qidx),
-                      jnp.asarray(nvalid), keys)
+        keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(q_run))
+        if mesh is not None:
+            keys = jax.device_put(
+                keys,
+                NamedSharding(mesh, P(mesh.axis_names[0], None)),
             )
+        weights_reps.append(
+            np.asarray(run_q(xs_d, adjs_d, qidx_d, nvalid_d, keys))[:qn]
         )
     stack = np.stack(weights_reps)  # [T, Q, N_pad]
     mean = stack.mean(0)

@@ -86,16 +86,17 @@ class QueryPlan(NamedTuple):
     p_sizes: Tuple[int, ...]
 
 
-def _build_query_plan(graph, query: int, num_layers: int) -> Optional[QueryPlan]:
-    """Host-side BFS + adjacency slicing (numpy/C++; no device compiles)."""
+def _ball_geometry(graph, query: int, num_layers: int):
+    """Shared BFS geometry for all plan builders: in-distance from the query,
+    distance-ordered padded support ``vp`` (query first), position map, and
+    per-layer padded prefix sizes."""
     from ..runtime import native
 
     n = graph.n_pad
     hv = host_view(graph)
     snd = hv.senders[: graph.num_edges]
     rcv = hv.receivers[: graph.num_edges]
-    big = num_layers + 2
-    dist = np.full(n, big, np.int32)
+    dist = np.full(n, num_layers + 2, np.int32)
     reach_prev = np.zeros(n, bool)
     for d in range(num_layers + 1):
         r = native.khop_reachable(n, snd, rcv, query, d)
@@ -103,8 +104,6 @@ def _build_query_plan(graph, query: int, num_layers: int) -> Optional[QueryPlan]
         reach_prev = r
     p_s = int((dist <= num_layers).sum())
     p_s = min(max(8, -(-p_s // 8) * 8), n)
-    if p_s * n > _PLAN_DEG_ENTRY_CAP:
-        return None
     order = np.argsort(dist, kind="stable").astype(np.int32)
     vp = order[:p_s]
     pos = np.full(n, -1, np.int64)
@@ -116,6 +115,15 @@ def _build_query_plan(graph, query: int, num_layers: int) -> Optional[QueryPlan]
         p = min(max(8, -(-k // 8) * 8), prev, n)
         p_sizes.append(p)
         prev = p
+    return snd, rcv, vp, pos, p_s, tuple(p_sizes)
+
+
+def _build_query_plan(graph, query: int, num_layers: int) -> Optional[QueryPlan]:
+    """Host-side BFS + adjacency slicing (numpy/C++; no device compiles)."""
+    n = graph.n_pad
+    snd, rcv, vp, pos, p_s, p_sizes = _ball_geometry(graph, query, num_layers)
+    if p_s * n > _PLAN_DEG_ENTRY_CAP:
+        return None
     # adjacency slices (multi-edge multiplicity kept, self-loops dropped —
     # identical conventions to _dense_adjacency / build_neighbor_table)
     keep = snd != rcv
@@ -139,7 +147,7 @@ def _build_query_plan(graph, query: int, num_layers: int) -> Optional[QueryPlan]
         vp=vp,
         a_deg=a_deg,
         a_layers=tuple(a_layers),
-        p_sizes=tuple(p_sizes),
+        p_sizes=p_sizes,
     )
 
 
@@ -178,31 +186,7 @@ def _pad16(*arrays):
 def _build_edge_query_plan(
     graph, query: int, num_layers: int
 ) -> Optional[EdgeQueryPlan]:
-    from ..runtime import native
-
-    n = graph.n_pad
-    hv = host_view(graph)
-    snd = hv.senders[: graph.num_edges]
-    rcv = hv.receivers[: graph.num_edges]
-    dist = np.full(n, num_layers + 2, np.int32)
-    reach_prev = np.zeros(n, bool)
-    for d in range(num_layers + 1):
-        r = native.khop_reachable(n, snd, rcv, query, d)
-        dist[r & ~reach_prev] = d
-        reach_prev = r
-    p_s = int((dist <= num_layers).sum())
-    p_s = min(max(8, -(-p_s // 8) * 8), n)
-    order = np.argsort(dist, kind="stable").astype(np.int32)
-    vp = order[:p_s]
-    pos = np.full(n, -1, np.int64)
-    pos[vp] = np.arange(p_s)
-    p_sizes = []
-    prev = p_s
-    for i in range(num_layers):
-        k = int((dist <= num_layers - 1 - i).sum())
-        p = min(max(8, -(-k // 8) * 8), prev, n)
-        p_sizes.append(p)
-        prev = p
+    snd, rcv, vp, pos, p_s, p_sizes = _ball_geometry(graph, query, num_layers)
     eids = np.arange(graph.num_edges, dtype=np.int32)
     keep = snd != rcv
     s_k, r_k, e_k = snd[keep], rcv[keep], eids[keep]
@@ -230,7 +214,7 @@ def _build_edge_query_plan(
         prev = p
     return EdgeQueryPlan(
         vp=vp,
-        p_sizes=tuple(p_sizes),
+        p_sizes=p_sizes,
         deg_eid=deg_eid,
         deg_onehot=deg_onehot,
         layer_eid=tuple(layer_eid),

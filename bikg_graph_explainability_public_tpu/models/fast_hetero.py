@@ -93,38 +93,16 @@ class FastBatchedHeteroGCN:
         q = int(query)
         if q in self._plans:
             return self._plans[q]
-        from ..runtime import native
-        from .fast_gcn import _PLAN_DEG_ENTRY_CAP
+        from .fast_gcn import _PLAN_DEG_ENTRY_CAP, _ball_geometry
 
         graph = self.graph
         num_layers = len(self.model_def.conv_layers)
         n = graph.n_pad
-        hv = host_view(graph)
-        snd = hv.senders[: graph.num_edges]
-        rcv = hv.receivers[: graph.num_edges]
-        et = hv.edge_type[: graph.num_edges]
-        dist = np.full(n, num_layers + 2, np.int32)
-        reach_prev = np.zeros(n, bool)
-        for d in range(num_layers + 1):
-            r = native.khop_reachable(n, snd, rcv, q, d)
-            dist[r & ~reach_prev] = d
-            reach_prev = r
-        p_s = int((dist <= num_layers).sum())
-        p_s = min(max(8, -(-p_s // 8) * 8), n)
+        et = host_view(graph).edge_type[: graph.num_edges]
+        snd, rcv, vp, pos, p_s, p_sizes = _ball_geometry(graph, q, num_layers)
         nrel = len(self.model_def.relations)
         plan = None
         if p_s * n * nrel <= _PLAN_DEG_ENTRY_CAP:
-            order = np.argsort(dist, kind="stable").astype(np.int32)
-            vp = order[:p_s]
-            pos = np.full(n, -1, np.int64)
-            pos[vp] = np.arange(p_s)
-            p_sizes = []
-            prev = p_s
-            for i in range(num_layers):
-                k = int((dist <= num_layers - 1 - i).sum())
-                p = min(max(8, -(-k // 8) * 8), prev, n)
-                p_sizes.append(p)
-                prev = p
             keep_ns = snd != rcv
             a_deg = np.zeros((nrel, p_s, n), np.float32)
             a_layers = []
@@ -152,7 +130,7 @@ class FastBatchedHeteroGCN:
                 vp=vp,
                 a_deg=a_deg,
                 a_layers=tuple(a_layers),
-                p_sizes=tuple(p_sizes),
+                p_sizes=p_sizes,
                 scope_v=scope_v,
             )
         self._plans[q] = plan

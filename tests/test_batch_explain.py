@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pandas as pd
 import pytest
 
 import bikg_graph_explainability_public_tpu as px
@@ -71,3 +72,24 @@ class TestExplainMany:
         g, model, names, _, _ = self._setup()
         dfs = explain_many(model, g, [10], CFG, names=names, times=3)
         assert dfs[0]["config_value_std"].max() > 0
+
+
+class TestShardedExplainMany:
+    def test_mesh_matches_single_device(self):
+        import jax
+        from bikg_graph_explainability_public_tpu.parallel import make_mesh
+
+        feat, ei, names = make_graph(n=40, f=8, e=150, seed=90)
+        g = px.from_arrays(feat, ei)
+        mdef = px.GCNNodeModel(8, conv_channels=(8,), fc_channels=(8, 4))
+        params = mdef.init(jax.random.PRNGKey(90))
+        model = px.Model(mdef, params)
+        cfg = {"seed": 3, "interpret_samples": 8, "epochs": 4, "lr": 0.01,
+               "l1_lambda": 1e-4}
+        queries = [0, 5, 9]  # 3 queries over 8 devices -> pads to 8
+        single = px.explain_many(model, g, queries, cfg, names=names)
+        mesh = make_mesh(8)
+        sharded = px.explain_many(model, g, queries, cfg, names=names, mesh=mesh)
+        assert len(sharded) == len(single) == 3
+        for a, b in zip(single, sharded):
+            pd.testing.assert_frame_equal(a, b)
