@@ -29,6 +29,7 @@ from ..ops.khop import extract_khop_subgraph
 from ..utils.padding import round_up_pow2
 from ..utils.prng import repeat_key
 from .kernels import shap_kernel
+from .masks import MaskSampler
 from .wlm import init_surrogate_weights, train_surrogate
 from ..graph import Graph, host_view
 
@@ -79,11 +80,13 @@ def _explain_one_query(
     l1: float,
     wd: float,
     chunk: int,
+    masks=None,  # [n_masks, N] bool — community mode passes pre-sampled masks
 ):
     n = x.shape[0]
     k_mask, k_init = jax.random.split(key)
     col_valid = jnp.arange(n) < n_valid
-    masks = jax.random.bernoulli(k_mask, 0.5, (n_masks, n)) & col_valid[None, :]
+    if masks is None:
+        masks = jax.random.bernoulli(k_mask, 0.5, (n_masks, n)) & col_valid[None, :]
 
     xw0 = x[:, : model_def.convs[0].in_features] @ params["conv"][0]["weight"].T
 
@@ -184,7 +187,9 @@ def explain_many(
     times: int = 1,
     chunk: int = 250,
     mesh=None,
-) -> List[pd.DataFrame]:
+    pathways=None,
+    pathway_names=None,
+):
     """Explain Q node queries with one vmapped program per repeat.
 
     ``model``: a :class:`..models.adapter.Model` wrapping a GCNNodeModel.
@@ -195,6 +200,13 @@ def explain_many(
     over its first axis (queries are embarrassingly parallel, so scaling is
     linear in devices with zero communication; Q is padded to a multiple of
     the axis size by repeating the last query).
+
+    ``pathways`` / ``pathway_names``: communities as element-name lists
+    (Configuration-Value mode, like ``Explainer``): masks are sampled with
+    the reference's community-structured sampler per query, stacks are
+    row-padded to a common budget with all-False rows (kernel weight 0 —
+    inert in the weighted loss), and the return value becomes a list of
+    ``(element_df, pathway_df)`` pairs.
     """
     model_def = model.model_def
     if not isinstance(model_def, GCNNodeModel):
@@ -212,14 +224,48 @@ def explain_many(
     while n_masks % chunk:
         chunk -= 1
 
-    run_q = jax.vmap(
-        lambda x, a, q, nv, key: _explain_one_query(
-            model_def, model.params, x, a, q, nv, key,
-            n_masks=n_masks, epochs=epochs, lr=lr, l1=l1, wd=wd, chunk=chunk,
-        )
-    )
-
     qn = len(queries)
+
+    all_names_arr = (
+        np.array(names, dtype=str)
+        if names is not None
+        else np.arange(graph.n_pad).astype(str)
+    )
+    mask_stacks = None  # [T][Q] host masks in community mode
+    sub_pw_per_q = None
+    if pathways is not None:
+        from .pathways import Pathways
+
+        bucket_n = xs.shape[1]
+        mask_stacks = [[None] * qn for _ in range(times)]
+        sub_pw_per_q = []
+        m_max = 0
+        for qi in range(qn):
+            nv = int(nvalid[qi])
+            sub_names = all_names_arr[parent_nodes[qi]].tolist()
+            pclass = Pathways(pathways, pathway_names)
+            sub_pw, sub_pw_names, _ = pclass.comp_graph(sub_names)
+            sub_inds = Pathways(sub_pw, sub_pw_names).names2inds(sub_names)
+            sub_pw_per_q.append((sub_inds, sub_pw_names))
+            sampler = MaskSampler(nv, bucket_n, params_cfg, sub_inds)
+            for t in range(times):
+                key = repeat_key(seed, t)
+                mq, _tags, _bs = sampler.sample(jax.random.fold_in(key, qi))
+                mask_stacks[t][qi] = np.asarray(mq)
+                m_max = max(m_max, mq.shape[0])
+        # common row budget, divisible by epochs; all-False padding rows have
+        # kernel weight zero (k=0 coalitions) so they are inert
+        m_max = -(-m_max // epochs) * epochs
+        n_masks = m_max
+        for t in range(times):
+            for qi in range(qn):
+                mq = mask_stacks[t][qi]
+                if mq.shape[0] < m_max:
+                    pad = np.zeros((m_max - mq.shape[0], bucket_n), bool)
+                    mask_stacks[t][qi] = np.concatenate([mq, pad])
+        while n_masks % chunk:
+            chunk -= 1
+
     q_run = qn
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -242,6 +288,22 @@ def explain_many(
         xs_d, adjs_d = jnp.asarray(xs), jnp.asarray(adjs)
         qidx_d, nvalid_d = jnp.asarray(qidx), jnp.asarray(nvalid)
 
+    if mask_stacks is None:
+        run_q = jax.vmap(
+            lambda x, a, q, nv, key: _explain_one_query(
+                model_def, model.params, x, a, q, nv, key,
+                n_masks=n_masks, epochs=epochs, lr=lr, l1=l1, wd=wd, chunk=chunk,
+            )
+        )
+    else:
+        run_q = jax.vmap(
+            lambda x, a, q, nv, key, m: _explain_one_query(
+                model_def, model.params, x, a, q, nv, key,
+                n_masks=n_masks, epochs=epochs, lr=lr, l1=l1, wd=wd, chunk=chunk,
+                masks=m,
+            )
+        )
+
     weights_reps = []
     for t in range(times):
         key = repeat_key(seed, t)
@@ -251,22 +313,31 @@ def explain_many(
                 keys,
                 NamedSharding(mesh, P(mesh.axis_names[0], None)),
             )
-        weights_reps.append(
-            np.asarray(run_q(xs_d, adjs_d, qidx_d, nvalid_d, keys))[:qn]
-        )
+        if mask_stacks is None:
+            w = run_q(xs_d, adjs_d, qidx_d, nvalid_d, keys)
+        else:
+            mstack = np.stack(mask_stacks[t])  # [Q, M, N]
+            if q_run != qn:
+                mstack = np.concatenate(
+                    [mstack, np.repeat(mstack[-1:], q_run - qn, 0)]
+                )
+            if mesh is not None:
+                mstack = jax.device_put(
+                    mstack,
+                    NamedSharding(
+                        mesh, P(mesh.axis_names[0], None, None)
+                    ),
+                )
+            w = run_q(xs_d, adjs_d, qidx_d, nvalid_d, keys, jnp.asarray(mstack))
+        weights_reps.append(np.asarray(w)[:qn])
     stack = np.stack(weights_reps)  # [T, Q, N_pad]
     mean = stack.mean(0)
     std = stack.std(0)
 
     dfs = []
-    all_names = (
-        np.array(names, dtype=str)
-        if names is not None
-        else np.arange(graph.n_pad).astype(str)
-    )
     for qi in range(len(queries)):
         nv = int(nvalid[qi])
-        sub_names = all_names[parent_nodes[qi]]
+        sub_names = all_names_arr[parent_nodes[qi]]
         df = pd.DataFrame(
             {
                 "name": sub_names,
@@ -274,5 +345,14 @@ def explain_many(
                 "config_value_std": std[qi, :nv],
             }
         ).set_index("name").sort_values("config_value_mean", ascending=False)
-        dfs.append(df)
+        if sub_pw_per_q is not None:
+            from .pathways import Pathways
+
+            sub_inds, sub_pw_names = sub_pw_per_q[qi]
+            pw_df = Pathways(sub_inds, sub_pw_names).aggregate(
+                mean[qi, :nv], sub_inds
+            )
+            dfs.append((df, pw_df))
+        else:
+            dfs.append(df)
     return dfs

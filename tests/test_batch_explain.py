@@ -93,3 +93,54 @@ class TestShardedExplainMany:
         assert len(sharded) == len(single) == 3
         for a, b in zip(single, sharded):
             pd.testing.assert_frame_equal(a, b)
+
+
+class TestCommunityExplainMany:
+    def test_community_mode_returns_pathway_dfs(self):
+        import jax
+
+        feat, ei, names = make_graph(n=36, f=8, e=120, seed=95)
+        g = px.from_arrays(feat, ei)
+        mdef = px.GCNNodeModel(8, conv_channels=(8,), fc_channels=(8, 4))
+        params = mdef.init(jax.random.PRNGKey(95))
+        model = px.Model(mdef, params)
+        cfg = {"seed": 5, "interpret_samples": 8, "epochs": 4, "lr": 0.01,
+               "l1_lambda": 1e-4}
+        pw = [[names[i] for i in range(0, 12)],
+              [names[i] for i in range(12, 36)]]
+        out = px.explain_many(
+            model, g, [2, 7], cfg, names=names,
+            pathways=pw, pathway_names=["west", "east"],
+        )
+        assert len(out) == 2
+        for cv_df, pw_df in out:
+            assert len(cv_df) > 0
+            assert cv_df["config_value_mean"].notna().all()
+            assert pw_df is not None and len(pw_df) >= 1
+            # sorted descending
+            v = pw_df.iloc[:, 0].to_numpy()
+            assert (np.diff(v) <= 1e-9).all()
+
+    def test_community_matches_explainer_structure(self):
+        """Same query through Explainer.run and explain_many community mode:
+        identical element sets (values differ — independent mask draws)."""
+        import jax
+
+        feat, ei, names = make_graph(n=30, f=8, e=100, seed=96)
+        g = px.from_arrays(feat, ei)
+        mdef = px.GCNNodeModel(8, conv_channels=(8,), fc_channels=(8, 4))
+        params = mdef.init(jax.random.PRNGKey(96))
+        model = px.Model(mdef, params)
+        cfg = {"seed": 6, "interpret_samples": 8, "epochs": 4, "lr": 0.01,
+               "l1_lambda": 1e-4}
+        pw = [[names[i] for i in range(0, 10)],
+              [names[i] for i in range(10, 30)]]
+        ex = px.Explainer(feat, ei, model, cfg, names, pathways=pw,
+                          pathway_names=["a", "b"])
+        cv_ref, pw_ref = ex.run(names[4], times=1)
+        (cv_b, pw_b), = px.explain_many(
+            model, g, [4], cfg, names=names, pathways=pw,
+            pathway_names=["a", "b"],
+        )
+        assert set(cv_ref.index) == set(cv_b.index)
+        assert set(pw_ref.index) == set(pw_b.index)
