@@ -36,3 +36,14 @@ class TestCompat:
         mask = np.eye(6, dtype=np.float32)
         out = lr.apply(w, mask)
         np.testing.assert_allclose(np.asarray(out), np.asarray(w), rtol=1e-6)
+
+
+class TestVersion:
+    def test_version_string(self):
+        import bikg_graph_explainability_public_tpu as px
+        from bikg_graph_explainability_public_tpu.version import get_git_hash
+
+        assert isinstance(px.VERSION, str) and px.VERSION
+        assert px.get_version() == px.VERSION
+        assert px.get_version(with_git_hash=True).startswith(px.VERSION)
+        assert isinstance(get_git_hash(), str)
