@@ -97,7 +97,9 @@ class Model:
         ):
             engine = self._fast_hetero_engine(graph)
             if engine is not None:
-                return engine.query_outputs(masks, query, problem, chunk_size)
+                out = engine.query_outputs(masks, query, problem, chunk_size)
+                if out is not None:  # GAT engine declines graph problems
+                    return out
         fwd = self.forward_fn(graph)
         base = graph.edge_mask.astype(graph.x.dtype)
         snd, rcv = graph.senders, graph.receivers
@@ -141,14 +143,17 @@ class Model:
         return engine
 
     def _fast_hetero_engine(self, graph: Graph):
-        from .fast_hetero import FastBatchedHeteroGCN
+        from .fast_hetero import FastBatchedHeteroGAT, FastBatchedHeteroGCN
 
         if self._fast_cache[0] is graph:
             return self._fast_cache[1]
         try:
             engine = FastBatchedHeteroGCN(self.model_def, self.params, graph)
         except TypeError:
-            return None  # non-GCNConv convs (e.g. GAT): generic path
+            try:
+                engine = FastBatchedHeteroGAT(self.model_def, self.params, graph)
+            except TypeError:
+                return None  # mixed conv types: generic path
         try:
             from jax._src.core import trace_state_clean
 

@@ -277,3 +277,168 @@ class FastBatchedHeteroGCN:
             chunks = masks.reshape(m_total // chunk_size, chunk_size, masks.shape[1])
             return jax.lax.map(run_chunk, chunks).reshape(m_total)
         return run_chunk(masks)
+
+
+class FastBatchedHeteroGAT:
+    """Batched masked forward engine for HeteroGNN models whose convs are all
+    :class:`..models.layers.GATConv` (the reference hetero *test* model,
+    ``tests/test_utils.py:86-182``) — node problems, served through
+    receptive-field plans.
+
+    Key structure: per relation r and layer, attention is a masked softmax
+    over in-edges.  On the query's hop ball the logits are a tiny
+    ``[B, P_i, P_{i-1}, H]`` tensor; duplicate edges fold into the adjacency
+    multiplicity as ``log A`` added to the logits (identical to per-edge
+    softmax, since parallel edges share one logit).  The perturbation enters
+    only as a presence mask — no gathers, no segment ops.
+    """
+
+    def __init__(self, model_def: HeteroGNN, params, graph, restrict: bool = True):
+        from .layers import GATConv
+
+        if not all(
+            isinstance(c, GATConv)
+            for layer in model_def.conv_layers
+            for c in layer.values()
+        ):
+            raise TypeError("fast hetero GAT path requires all-GATConv layers")
+        for layer in model_def.conv_layers:
+            for c in layer.values():
+                if c.add_self_loops:
+                    raise TypeError("add_self_loops GAT not supported here")
+        self.model_def = model_def
+        self.params = params
+        self.graph = graph
+        self.restrict = restrict
+        self._plans: dict = {}
+        hv = host_view(graph)
+        nt = hv.node_type
+        self.scope = np.stack(
+            [
+                ((nt == model_def.node_type_names.index(rel[-1])) & hv.node_mask)
+                for rel in model_def.relations
+            ]
+        ).astype(np.float32)  # [R, N]
+
+    def query_plan(self, query: int):
+        q = int(query)
+        if q in self._plans:
+            return self._plans[q]
+        from .fast_gcn import _ball_geometry
+
+        graph = self.graph
+        num_layers = len(self.model_def.conv_layers)
+        et = host_view(graph).edge_type[: graph.num_edges]
+        snd, rcv, vp, pos, p_s, p_sizes = _ball_geometry(graph, q, num_layers)
+        nrel = len(self.model_def.relations)
+        # NOTE: data self-loops are real edges for GAT (no gcn_norm
+        # special-casing) — they stay in the slices
+        rcv_pos, snd_pos = pos[rcv], pos[snd]
+        a_layers = []
+        prev = p_s
+        for p in p_sizes:
+            a_i = np.zeros((nrel, p, prev), np.float32)
+            for ri in range(nrel):
+                sel = (
+                    (et == ri)
+                    & (rcv_pos >= 0)
+                    & (rcv_pos < p)
+                    & (snd_pos >= 0)
+                    & (snd_pos < prev)
+                )
+                np.add.at(a_i[ri], (rcv_pos[sel], snd_pos[sel]), 1.0)
+            a_layers.append(a_i)
+            prev = p
+        plan = HeteroQueryPlan(
+            vp=vp,
+            a_deg=np.zeros((nrel, 0, 0), np.float32),  # unused for GAT
+            a_layers=tuple(a_layers),
+            p_sizes=p_sizes,
+            scope_v=self.scope[:, vp],
+        )
+        self._plans[q] = plan
+        return plan
+
+    def _restricted_outputs(self, masks: jax.Array, plan) -> jax.Array:
+        m = masks.astype(jnp.float32)
+        mv = m[:, plan.vp]  # [B, Ps]
+        x = self.graph.x[plan.vp]  # [Ps, F]
+        h = x[None]  # [1, Ps, F] — layer 0 input is batch-shared
+        prev = plan.vp.shape[0]
+        for li, layer in enumerate(self.model_def.conv_layers):
+            ni = plan.p_sizes[li]
+            out = None
+            for ri, (rel, conv) in enumerate(layer.items()):
+                p = self.params["conv"][li]["__".join(rel)]
+                nh, c = conv.heads, conv.out_features
+                b_dim, pv = h.shape[0], h.shape[1]
+                xs = (h[..., : conv.in_src] @ p["lin_src"]["weight"].T).reshape(
+                    b_dim, pv, nh, c
+                )
+                xd = (h[..., : conv.in_dst] @ p["lin_dst"]["weight"].T).reshape(
+                    b_dim, pv, nh, c
+                )
+                a_src = (xs * p["att_src"]).sum(-1)  # [b, prev, H]
+                a_dst = (xd * p["att_dst"]).sum(-1)
+                logits = jax.nn.leaky_relu(
+                    a_src[:, None, :, :] + a_dst[:, :ni, None, :],
+                    conv.negative_slope,
+                )  # [b, ni, prev, H]
+                adj = jnp.asarray(plan.a_layers[li][ri])  # [ni, prev]
+                pres = (
+                    (adj > 0)[None, :, :, None]
+                    & (mv[:, None, :prev, None] > 0)
+                    & (mv[:, :ni, None, None] > 0)
+                )  # [B, ni, prev, 1]
+                z = logits + jnp.where(adj > 0, jnp.log(jnp.maximum(adj, 1e-30)), 0.0)[
+                    None, :, :, None
+                ]
+                z = jnp.where(pres, z, -jnp.inf)
+                zmax = jnp.max(z, axis=2, keepdims=True)  # [B, ni, 1, H]
+                zmax = jnp.where(jnp.isfinite(zmax), zmax, 0.0)
+                e = jnp.where(pres, jnp.exp(z - zmax), 0.0)
+                denom = e.sum(axis=2, keepdims=True)  # [B, ni, 1, H]
+                alpha = e / jnp.maximum(denom, 1e-30)  # [B, ni, prev, H]
+                msg = jnp.einsum(
+                    "bkvh,bvhc->bkhc",
+                    alpha,
+                    jnp.broadcast_to(xs, (alpha.shape[0],) + xs.shape[1:]),
+                    preferred_element_type=jnp.float32,
+                )
+                if conv.concat:
+                    contrib = msg.reshape(msg.shape[0], ni, nh * c)
+                else:
+                    contrib = msg.mean(axis=2)
+                if "bias" in p:
+                    contrib = contrib + p["bias"] * plan.scope_v[ri][None, :ni, None]
+                out = contrib if out is None else out + contrib
+            h = relu(out)
+            prev = ni
+        return self.model_def.head(self.params, h[:, 0, :])[:, 0]
+
+    def query_outputs(
+        self,
+        masks: jax.Array,
+        query: Optional[int],
+        problem: str = "node_prediction",
+        chunk_size: int = 128,
+    ) -> Optional[jax.Array]:
+        """[B] query predictions, or None when this engine cannot serve the
+        request (edge/graph problems, traced query) — caller falls back."""
+        if (
+            "edge" in problem
+            or "graph" in problem
+            or not isinstance(query, (int, np.integer))
+            or not self.restrict
+        ):
+            return None
+        plan = self.query_plan(int(query))
+        if plan is None:
+            return None
+        m_total = masks.shape[0]
+        if m_total % chunk_size == 0 and m_total > chunk_size:
+            chunks = masks.reshape(m_total // chunk_size, chunk_size, masks.shape[1])
+            return jax.lax.map(
+                lambda ch: self._restricted_outputs(ch, plan), chunks
+            ).reshape(m_total)
+        return self._restricted_outputs(masks, plan)

@@ -117,3 +117,72 @@ class TestHeteroReceptiveFieldPlan:
 
     def test_two_layers(self):
         self._check((6, 6), 84)
+
+
+class TestFastHeteroGAT:
+    def _gat_setup(self, seed=85, conv_channels=(6,), heads=1, self_loops=False):
+        rng = np.random.default_rng(seed)
+        feat = {
+            "a": rng.normal(size=(9, 5)).astype(np.float32),
+            "b": rng.normal(size=(7, 5)).astype(np.float32),
+        }
+        relations = [("a", "r1", "b"), ("b", "r2", "a"), ("a", "r3", "a")]
+        ei = {
+            ("a", "r1", "b"): np.stack([rng.integers(0, 9, 12), rng.integers(0, 7, 12)]),
+            ("b", "r2", "a"): np.stack([rng.integers(0, 7, 10), rng.integers(0, 9, 10)]),
+            ("a", "r3", "a"): np.stack([rng.integers(0, 9, 8), rng.integers(0, 9, 8)]),
+        }
+        if self_loops:
+            ei[("a", "r3", "a")] = np.concatenate(
+                [ei[("a", "r3", "a")], np.array([[2, 4], [2, 4]])], axis=1
+            )
+        g, info = hetero_to_homo(feat, ei)
+        mdef = px.hetero_gat_for_relations(
+            ["a", "b"], relations, in_features=5,
+            conv_channels=conv_channels, fc_channels=(conv_channels[-1] * heads, 4),
+        )
+        params = mdef.init(jax.random.PRNGKey(seed))
+        return g, mdef, params
+
+    def _compare(self, g, mdef, params, seed=0, queries=(0, 3, 12)):
+        from bikg_graph_explainability_public_tpu.models.fast_hetero import (
+            FastBatchedHeteroGAT,
+        )
+
+        slow = px.Model(mdef, params, fast=False)
+        eng = FastBatchedHeteroGAT(mdef, params, g)
+        sampler = MaskSampler(
+            g.num_nodes, g.n_pad, {"interpret_samples": 16, "epochs": 4}, None
+        )
+        masks, _, _ = sampler.sample(jax.random.PRNGKey(seed))
+        for q in queries:
+            a = np.asarray(slow.perturbed_query_outputs(g, masks, "node_prediction", q))
+            b = np.asarray(eng.query_outputs(masks, q, "node_prediction"))
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+        # adapter dispatch picks the GAT engine too
+        fast = px.Model(mdef, params, fast=True)
+        c = np.asarray(
+            fast.perturbed_query_outputs(g, masks, "node_prediction", queries[0])
+        )
+        a0 = np.asarray(
+            slow.perturbed_query_outputs(g, masks, "node_prediction", queries[0])
+        )
+        np.testing.assert_allclose(a0, c, rtol=1e-4, atol=1e-5)
+
+    def test_one_layer(self):
+        g, mdef, params = self._gat_setup(85)
+        self._compare(g, mdef, params, seed=85)
+
+    def test_two_layers_with_self_loops(self):
+        g, mdef, params = self._gat_setup(86, conv_channels=(6, 6), self_loops=True)
+        self._compare(g, mdef, params, seed=86)
+
+    def test_graph_problem_falls_back(self):
+        g, mdef, params = self._gat_setup(87)
+        slow = px.Model(mdef, params, fast=False)
+        fast = px.Model(mdef, params, fast=True)
+        rng = np.random.default_rng(87)
+        masks = rng.random((12, g.n_pad)) > 0.4
+        a = np.asarray(slow.perturbed_query_outputs(g, masks, "graph_prediction", None))
+        b = np.asarray(fast.perturbed_query_outputs(g, masks, "graph_prediction", None))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
