@@ -82,9 +82,17 @@ def approximate_shap_kernel_parity(
     num_total = float(s_eff - 1)
     idx_grid = jnp.arange(ref, dtype=jnp.float32)
     log_choose = _log_binom(jnp.float32(ref), idx_grid)
-    choose = (jnp.exp(log_choose) + 1e-10) * num_total / 1000.0
     index = jnp.clip((num_active * 1000.0 / num_total).astype(jnp.int32), 0, ref - 1)
-    kernel = num_total / (
-        choose[index] * num_active * (num_total - num_active)
+    # log-space: the reference computes this in float64 and reaches 1e-300
+    # denormals; kernel scale cancels in the surrogate loss, so the parity
+    # output is normalized to max 1 (like shap_kernel)
+    log_kernel = (
+        jnp.log(num_total)
+        - (log_choose[index] + jnp.log(num_total / 1000.0))
+        - jnp.log(jnp.maximum(num_active, 1e-30))
+        - jnp.log(jnp.maximum(num_total - num_active, 1e-30))
     )
-    return jnp.nan_to_num(kernel, posinf=0.0, neginf=0.0)
+    valid = (num_active >= 1.0) & (num_active <= num_total)
+    safe = jnp.where(valid, log_kernel, -jnp.inf)
+    mx = jnp.max(jnp.where(jnp.isfinite(safe), safe, -1e30))
+    return jnp.where(valid, jnp.exp(log_kernel - mx), 0.0)
