@@ -37,7 +37,10 @@ from ..graph import Graph, host_view
 def _stack_subgraphs(graph: Graph, queries: Sequence[int], n_hops: int):
     """Extract each query's computational subgraph and pad all of them to a
     common (max-bucket) capacity; returns stacked numpy arrays."""
-    subs = [extract_khop_subgraph(graph, int(q), n_hops) for q in queries]
+    subs = [
+        extract_khop_subgraph(graph, int(q), n_hops, host_only=True)
+        for q in queries
+    ]
     n_pad = max(round_up_pow2(s.graph.num_nodes) for s in subs)
     f = graph.num_features
 
@@ -338,13 +341,14 @@ def explain_many(
     for qi in range(len(queries)):
         nv = int(nvalid[qi])
         sub_names = all_names_arr[parent_nodes[qi]]
+        order = np.argsort(-mean[qi, :nv], kind="stable")
         df = pd.DataFrame(
             {
-                "name": sub_names,
-                "config_value_mean": mean[qi, :nv],
-                "config_value_std": std[qi, :nv],
-            }
-        ).set_index("name").sort_values("config_value_mean", ascending=False)
+                "config_value_mean": mean[qi, :nv][order],
+                "config_value_std": std[qi, :nv][order],
+            },
+            index=pd.Index(np.asarray(sub_names)[order], name="name"),
+        )
         if sub_pw_per_q is not None:
             from .pathways import Pathways
 

@@ -58,6 +58,20 @@ class HostView:
             cache[name] = np.asarray(getattr(self._graph, name))
         return cache[name]
 
+    def csr(self):
+        """Receiver-CSR over valid edges, built once per graph:
+        (row_ptr [n+1] i64, col [e] i32 senders, eid [e] i32)."""
+        if "csr" not in self._cache:
+            from .runtime import native
+
+            g = self._graph
+            self._cache["csr"] = native.build_csr(
+                g.n_pad,
+                self.senders[: g.num_edges],
+                self.receivers[: g.num_edges],
+            )
+        return self._cache["csr"]
+
 
 import weakref  # noqa: E402
 

@@ -96,12 +96,8 @@ def _ball_geometry(graph, query: int, num_layers: int):
     hv = host_view(graph)
     snd = hv.senders[: graph.num_edges]
     rcv = hv.receivers[: graph.num_edges]
-    dist = np.full(n, num_layers + 2, np.int32)
-    reach_prev = np.zeros(n, bool)
-    for d in range(num_layers + 1):
-        r = native.khop_reachable(n, snd, rcv, query, d)
-        dist[r & ~reach_prev] = d
-        reach_prev = r
+    row_ptr, col, _eid = hv.csr()
+    dist = native.bfs_levels_csr(n, row_ptr, col, query, num_layers)
     p_s = int((dist <= num_layers).sum())
     p_s = min(max(8, -(-p_s // 8) * 8), n)
     order = np.argsort(dist, kind="stable").astype(np.int32)

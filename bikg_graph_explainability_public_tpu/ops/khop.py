@@ -66,6 +66,7 @@ def extract_khop_subgraph(
     *,
     pad_mode: str = "multiple",
     host_bfs: bool = True,
+    host_only: bool = False,
 ) -> Subgraph:
     """Extract the padded k-hop computational subgraph around ``query``.
 
@@ -75,14 +76,20 @@ def extract_khop_subgraph(
     to use the jitted on-device sweep instead (useful when the graph only
     exists on device).  If the subgraph has no edges the query gets a single
     self-loop, mirroring the reference fallback (``data.py:337-339``).
+
+    ``host_only=True`` skips the device upload entirely (the Graph fields are
+    numpy, usable as jit-argument/constant inputs) — for callers that only
+    read the subgraph host-side, e.g. the batched multi-query stacker.
     """
     if host_bfs:
         from ..runtime import native
 
         hv = host_view(graph)
-        snd_h = hv.senders[: graph.num_edges]
-        rcv_h = hv.receivers[: graph.num_edges]
-        reach = native.khop_reachable(graph.n_pad, snd_h, rcv_h, int(query), n_hops)
+        row_ptr, col, _eid = hv.csr()
+        reach = (
+            native.bfs_levels_csr(graph.n_pad, row_ptr, col, int(query), n_hops)
+            <= n_hops
+        )
     else:
         reach = np.asarray(
             khop_reachable(
@@ -135,11 +142,16 @@ def extract_khop_subgraph(
 
     parent_nodes = np.full((n_pad,), graph.n_pad, np.int64)
     parent_nodes[:n_sub] = kept_nodes
-    # ONE batched transfer: per-array device_put is an RPC each through the
-    # remote-TPU tunnel
-    (x_d, snd_d, rcv_d, nm_d, em_d, nt_d, et_d) = jax.device_put(
-        (x, new_snd, new_rcv, nmask, emask, nt, new_et)
-    )
+    if host_only:
+        (x_d, snd_d, rcv_d, nm_d, em_d, nt_d, et_d) = (
+            x, new_snd, new_rcv, nmask, emask, nt, new_et
+        )
+    else:
+        # ONE batched transfer: per-array device_put is an RPC each through
+        # the remote-TPU tunnel
+        (x_d, snd_d, rcv_d, nm_d, em_d, nt_d, et_d) = jax.device_put(
+            (x, new_snd, new_rcv, nmask, emask, nt, new_et)
+        )
     sub = Graph(
         x=x_d,
         senders=snd_d,

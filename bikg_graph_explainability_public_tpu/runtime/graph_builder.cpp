@@ -106,6 +106,31 @@ void khop_reachable(int64_t n, int64_t e, const int32_t* src,
   }
 }
 
+// BFS level per node from `query` over a prebuilt receiver-CSR (walking
+// col = in-neighbours), capped at max_hops; unreached nodes get max_hops+1.
+// One call replaces (max_hops+1) khop_reachable calls, each of which
+// rebuilt the CSR (O(E)) — this is the per-query planning hot path.
+void bfs_levels_csr(int64_t n, const int64_t* row_ptr, const int32_t* col,
+                    int64_t query, int64_t max_hops, int32_t* out_dist) {
+  const int32_t unreached = static_cast<int32_t>(max_hops + 1);
+  for (int64_t i = 0; i < n; ++i) out_dist[i] = unreached;
+  out_dist[query] = 0;
+  std::vector<int64_t> frontier{query}, next;
+  for (int64_t h = 1; h <= max_hops && !frontier.empty(); ++h) {
+    next.clear();
+    for (int64_t v : frontier) {
+      for (int64_t p = row_ptr[v]; p < row_ptr[v + 1]; ++p) {
+        int32_t u = col[p];
+        if (out_dist[u] == unreached) {
+          out_dist[u] = static_cast<int32_t>(h);
+          next.push_back(u);
+        }
+      }
+    }
+    frontier.swap(next);
+  }
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -66,6 +66,10 @@ def _lib() -> Optional[ctypes.CDLL]:
                     ctypes.c_int64, ctypes.c_int64, _i32p, _i32p,
                     ctypes.c_int64, ctypes.c_int64, _u8p,
                 ]
+                lib.bfs_levels_csr.argtypes = [
+                    ctypes.c_int64, _i64p, _i32p,
+                    ctypes.c_int64, ctypes.c_int64, _i32p,
+                ]
                 lib.edge_mask_from_node_mask.argtypes = [
                     ctypes.c_int64, _i32p, _i32p, _u8p, _u8p,
                 ]
@@ -204,3 +208,34 @@ def edge_mask_from_node_mask(src, dst, node_mask) -> np.ndarray:
         return keep.astype(bool)
     nm = node_mask.astype(bool)
     return nm[src] & nm[dst]
+
+
+def bfs_levels_csr(
+    n: int, row_ptr: np.ndarray, col: np.ndarray, query: int, max_hops: int
+) -> np.ndarray:
+    """In-distance (BFS level) per node from ``query`` over a prebuilt
+    receiver-CSR; unreached nodes get ``max_hops + 1``.  One call replaces
+    ``max_hops + 1`` :func:`khop_reachable` calls (each rebuilds the CSR)."""
+    lib = _lib()
+    out = np.full(n, max_hops + 1, np.int32)
+    if lib is not None:
+        lib.bfs_levels_csr(
+            n,
+            np.ascontiguousarray(row_ptr, np.int64),
+            np.ascontiguousarray(col, np.int32),
+            query,
+            max_hops,
+            out,
+        )
+        return out
+    out[query] = 0
+    frontier = [query]
+    for h in range(1, max_hops + 1):
+        nxt = []
+        for v in frontier:
+            for u in col[row_ptr[v] : row_ptr[v + 1]]:
+                if out[u] > h:
+                    out[u] = h
+                    nxt.append(u)
+        frontier = nxt
+    return out
