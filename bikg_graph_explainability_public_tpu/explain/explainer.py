@@ -248,7 +248,7 @@ class Explainer:
                 graph,
                 ind,
                 n_hops + 1,
-                pad_mode=self.params.get("pad_mode", "multiple") or "multiple",
+                pad_mode=self.params.get("pad_mode", "pow2") or "pow2",
             )
             sub_graph = sub.graph
             sub_query = sub.query

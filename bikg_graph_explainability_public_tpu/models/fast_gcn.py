@@ -98,8 +98,11 @@ def _ball_geometry(graph, query: int, num_layers: int):
     rcv = hv.receivers[: graph.num_edges]
     row_ptr, col, _eid = hv.csr()
     dist = native.bfs_levels_csr(n, row_ptr, col, query, num_layers)
-    p_s = int((dist <= num_layers).sum())
-    p_s = min(max(8, -(-p_s // 8) * 8), n)
+    # pow2 buckets: plan array shapes repeat across queries, so the jitted
+    # restricted forward (plan arrays as *arguments*) hits the compile cache
+    from ..utils.padding import round_up_pow2
+
+    p_s = min(round_up_pow2(int((dist <= num_layers).sum())), n)
     order = np.argsort(dist, kind="stable").astype(np.int32)
     vp = order[:p_s]
     pos = np.full(n, -1, np.int64)
@@ -108,7 +111,7 @@ def _ball_geometry(graph, query: int, num_layers: int):
     prev = p_s
     for i in range(num_layers):
         k = int((dist <= num_layers - 1 - i).sum())
-        p = min(max(8, -(-k // 8) * 8), prev, n)
+        p = min(round_up_pow2(k), prev, n)
         p_sizes.append(p)
         prev = p
     return snd, rcv, vp, pos, p_s, tuple(p_sizes)
