@@ -86,9 +86,13 @@ def _explain_one_query(
     masks=None,  # [n_masks, N] bool — community mode passes pre-sampled masks
 ):
     n = x.shape[0]
-    k_mask, k_init = jax.random.split(key)
+    # fold_in (not split) so the surrogate-init key is identical whether the
+    # mask draw happens here (Shapley mode) or masks arrive pre-sampled
+    # (community mode) — no dead randomness either way
+    k_init = jax.random.fold_in(key, 1)
     col_valid = jnp.arange(n) < n_valid
     if masks is None:
+        k_mask = jax.random.fold_in(key, 0)
         masks = jax.random.bernoulli(k_mask, 0.5, (n_masks, n)) & col_valid[None, :]
 
     xw0 = x[:, : model_def.convs[0].in_features] @ params["conv"][0]["weight"].T

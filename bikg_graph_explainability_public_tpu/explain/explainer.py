@@ -146,6 +146,12 @@ class Explainer:
             hasattr(params, "get") and hasattr(params, "__getitem__")
         ), "Hyperparameters given is not dictionary"
         assert isinstance(problem, str), "Problem type given is not string"
+        canonical = ("node_prediction", "edge_prediction", "graph_prediction")
+        assert problem.lower().strip() in canonical, (
+            f"Unknown problem type {problem!r}; expected one of {canonical} "
+            "(the reference routes by substring and silently misroutes typos, "
+            "explainer.py:162 + pathways.py:210)"
+        )
         assert isinstance(names, (list, dict)), "Element names is not list or dict"
         assert isinstance(model, Model), "model must be a Model adapter"
         if element_type is not None:

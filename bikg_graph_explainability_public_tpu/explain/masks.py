@@ -142,8 +142,13 @@ def sample_community_mask(
         row_tags.append(np.full((plan.size,), plan.pathway_index, np.int32))
         row_sizes.append(np.full((plan.size,), plan.columns.shape[0], np.int32))
 
+        # memory cap: biggest pathways only.  The check deliberately runs
+        # BEFORE the just-appended block is counted — exactly the reference's
+        # order (masks.py:343-348: `if cumulative_size > ...: break` precedes
+        # `cumulative_size += mask.shape[0]`), so the break fires on the same
+        # pathway as the oracle (asserted in tests/test_masks.py).
         if cumulative > total and num_elements > 4000:
-            break  # memory cap: biggest pathways only (masks.py:344-348)
+            break
         cumulative += plan.size
 
     full = jnp.concatenate(blocks, axis=0)
@@ -190,12 +195,14 @@ class MaskSampler:
         params: dict,
         pathway_inds: Optional[Sequence[Sequence[int]]] = None,
     ):
-        n_perturbs = abs(params["interpret_samples"])
-        epochs = abs(params["epochs"])
-        if not isinstance(n_perturbs, (int, float)):
+        n_perturbs = params["interpret_samples"]
+        epochs = params["epochs"]
+        if not isinstance(n_perturbs, (int, float)) or isinstance(n_perturbs, bool):
             raise TypeError("interpret_samples is not numeric")
-        if not isinstance(epochs, (int, float)):
+        if not isinstance(epochs, (int, float)) or isinstance(epochs, bool):
             raise TypeError("epochs is not numeric")
+        n_perturbs = abs(n_perturbs)
+        epochs = abs(epochs)
         self.num_elements = int(num_elements)
         self.width = int(width)
         self.n_perturbs = int(n_perturbs)

@@ -29,6 +29,7 @@ from .halo import (
     build_halo_partition,
     halo_gather_sum,
     halo_gcn_forward,
+    halo_masked_outputs,
     halo_masked_query_outputs,
     pad_nodes,
 )
@@ -48,6 +49,7 @@ __all__ = [
     "build_halo_partition",
     "halo_gather_sum",
     "halo_gcn_forward",
+    "halo_masked_outputs",
     "halo_masked_query_outputs",
     "pad_nodes",
     "ShardedModel",

@@ -209,49 +209,75 @@ def halo_gather_sum(
     )
 
 
-def halo_masked_query_outputs(
+def halo_masked_outputs(
     model_def,
     params,
     x: jax.Array,
     masks: jax.Array,
     part: HaloPartition,
     mesh: Mesh,
-    query: int,
+    problem: str = "node_prediction",
+    query: int | None = None,
     axis: str = "data",
+    num_nodes: int | None = None,
 ) -> jax.Array:
-    """Batched perturbed query outputs over the halo partition: B node-mask
-    perturbations of a graph whose features/edges/activations are sharded.
+    """Batched perturbed outputs over the halo partition: B perturbations of
+    a graph whose features/edges/activations are sharded.
 
     This is the explainer hot loop (``Model.perturbed_query_outputs``) for
     graphs too big for one chip — the capability BASELINE.json configs 4-5
     ask for.  Activations are kept batch-contiguous ([n_local, B, C]) so each
     halo ``all_to_all`` ships whole boundary rows for the entire batch at
-    once; masks are exchanged once and reused by every layer.
+    once; node masks are exchanged once and reused by every layer.
 
-    masks: [B, N_total] (replicated); returns [B] query predictions.
+    Problems (the reference serves all three through one API,
+    ``explainer.py:316-546``):
+      * node_prediction:  masks [B, N_total]; returns the query node's
+        prediction per perturbation.
+      * edge_prediction:  masks [B, E] (global edge ids, replicated); each
+        edge shard gathers its own weights by ``edge_id`` — no exchange.
+        Returns the query node's prediction.
+      * graph_prediction: masks [B, N_total]; returns the mean-pooled
+        prediction over the first ``num_nodes`` rows (a local pool + one
+        psum — no activation gather).
     """
     n_local = part.n_local
-    q_dev, q_loc = divmod(int(query), n_local)
+    is_edge = "edge" in problem
+    is_graph = "graph" in problem
+    if is_graph:
+        q_dev, q_loc = 0, 0
+    else:
+        q_dev, q_loc = divmod(int(query), n_local)
+    nn = part.n_total if num_nodes is None else int(num_nodes)
+
+    mask_spec = P() if is_edge else P(None, axis)
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(axis), P(None, axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), mask_spec, P(axis), P(axis), P(axis), P(axis),
+                  P(axis)),
         out_specs=P(),
     )
-    def run(x_loc, m_loc, send_idx, slot, rcv, valid):
+    def run(x_loc, m_loc, send_idx, slot, rcv, eid, valid):
         sidx, slot0, rcv0 = send_idx[0], slot[0], rcv[0]
-        mt = m_loc.astype(jnp.float32).T  # [n_local, B]
-        m_buf = _exchange(mt, sidx, axis)  # [n_local + D*halo, B]
         is_self = (slot0 == rcv0) & (slot0 < n_local)
-        w_e = valid[0][:, None] * m_buf[slot0] * mt[rcv0]  # [E_loc, B]
+        if is_edge:
+            b = m_loc.shape[0]
+            # per-edge weights by global edge id; padding slots gather id 0
+            # but are zeroed by `valid`
+            w_e = valid[0][:, None] * m_loc.astype(jnp.float32).T[eid[0]]
+        else:
+            mt = m_loc.astype(jnp.float32).T  # [n_local, B]
+            b = mt.shape[1]
+            m_buf = _exchange(mt, sidx, axis)  # [n_local + D*halo, B]
+            w_e = valid[0][:, None] * m_buf[slot0] * mt[rcv0]  # [E_loc, B]
         w_e = jnp.where(is_self[:, None], 0.0, w_e)
         deg = 1.0 + jax.ops.segment_sum(w_e, rcv0, num_segments=n_local)
         dis = jax.lax.rsqrt(deg)  # [n_local, B]
         dis_buf = _exchange(dis, sidx, axis)
         norm_e = w_e * dis_buf[slot0] * dis[rcv0]  # [E_loc, B]
         self_w = dis * dis  # [n_local, B]
-        b = mt.shape[1]
 
         h = None  # [n_local, B, C] after the first layer
         for li, (conv, p) in enumerate(zip(model_def.convs, params["conv"])):
@@ -281,6 +307,14 @@ def halo_masked_query_outputs(
             h = jax.nn.relu(h)
 
         my_dev = jax.lax.axis_index(axis)
+        if is_graph:
+            # local mean pool over real rows, then one psum
+            out_nodes = model_def.head(params, h)[..., 0]  # [n_local, B]
+            row_ok = (
+                my_dev * n_local + jnp.arange(n_local) < nn
+            ).astype(jnp.float32)
+            pooled = (out_nodes * row_ok[:, None]).sum(0)  # [B]
+            return jax.lax.psum(pooled, axis) / float(nn)
         hq = jnp.where(my_dev == q_dev, 1.0, 0.0) * h[q_loc]  # [B, C]
         out = model_def.head(params, hq)[:, 0]  # [B]
         # only the query owner's head output is meaningful; zero the rest
@@ -289,7 +323,25 @@ def halo_masked_query_outputs(
         return jax.lax.psum(out, axis)
 
     return run(
-        x, masks, part.send_idx, part.edge_slot, part.edge_rcv, part.edge_valid
+        x, masks, part.send_idx, part.edge_slot, part.edge_rcv, part.edge_id,
+        part.edge_valid,
+    )
+
+
+def halo_masked_query_outputs(
+    model_def,
+    params,
+    x: jax.Array,
+    masks: jax.Array,
+    part: HaloPartition,
+    mesh: Mesh,
+    query: int,
+    axis: str = "data",
+) -> jax.Array:
+    """Node-problem shorthand for :func:`halo_masked_outputs`."""
+    return halo_masked_outputs(
+        model_def, params, x, masks, part, mesh,
+        problem="node_prediction", query=query, axis=axis,
     )
 
 

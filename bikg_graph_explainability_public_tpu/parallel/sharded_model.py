@@ -9,13 +9,16 @@ whose features/edges/activations are sharded across devices:
     model = ShardedModel(mdef, params, make_mesh(8))
     Explainer(feat, edge_index, model, cfg, names).run("q")   # distributed
 
-Node problems on :class:`..models.gnn.GCNNodeModel` run fully sharded; edge
-and graph problems currently fall back to the replicated-feature base path
-(still data-parallel over the mask batch if the inputs are sharded).
+Node, edge and graph problems on :class:`..models.gnn.GCNNodeModel` all run
+fully sharded (``halo_masked_outputs``).  Other model families raise — a
+silent fall-back to the replicated path would OOM on exactly the graphs this
+class exists for; pass ``allow_replicated_fallback=True`` to opt into it
+explicitly.
 """
 
 from __future__ import annotations
 
+import warnings
 from typing import Optional
 
 import jax
@@ -26,7 +29,7 @@ from jax.sharding import Mesh
 from ..graph import Graph
 from ..models.adapter import Model
 from ..models.gnn import GCNNodeModel
-from .halo import build_halo_partition, halo_masked_query_outputs, pad_nodes
+from .halo import build_halo_partition, halo_masked_outputs, pad_nodes
 
 
 class ShardedModel(Model):
@@ -39,10 +42,12 @@ class ShardedModel(Model):
         mesh: Mesh,
         axis: str = "data",
         fast: bool = True,
+        allow_replicated_fallback: bool = False,
     ):
         super().__init__(model_def, params, fast=fast)
         self.mesh = mesh
         self.axis = axis
+        self.allow_replicated_fallback = allow_replicated_fallback
         self._halo_cache: tuple = (None, None)
 
     @property
@@ -68,15 +73,36 @@ class ShardedModel(Model):
         query: Optional[int],
         chunk_size: int = 128,
     ) -> jax.Array:
-        if "node" not in problem or not isinstance(self.model_def, GCNNodeModel):
+        if not isinstance(self.model_def, GCNNodeModel):
+            if not self.allow_replicated_fallback:
+                raise NotImplementedError(
+                    "ShardedModel serves GCNNodeModel only; the replicated "
+                    "path would hold the full graph per device and OOM at "
+                    "sharded scale. Pass allow_replicated_fallback=True to "
+                    "opt in explicitly."
+                )
+            warnings.warn(
+                "ShardedModel: replicated fall-back (full graph per device) "
+                f"for {type(self.model_def).__name__}",
+                stacklevel=2,
+            )
             return super().perturbed_query_outputs(
                 graph, masks, problem, query, chunk_size
             )
         part, x = self._halo(graph)
         m = masks.shape[0]
-        pad_cols = part.n_total - masks.shape[1]
-        if pad_cols:
-            masks = jnp.pad(masks, ((0, 0), (0, pad_cols)))
+        if "edge" not in problem:
+            pad_cols = part.n_total - masks.shape[1]
+            if pad_cols:
+                masks = jnp.pad(masks, ((0, 0), (0, pad_cols)))
+
+        def run(chunk):
+            return halo_masked_outputs(
+                self.model_def, self.params, x, chunk, part, self.mesh,
+                problem=problem,
+                query=None if "graph" in problem else int(query),
+                axis=self.axis, num_nodes=graph.num_nodes,
+            )
 
         outs = []
         for start in range(0, m, chunk_size):
@@ -85,14 +111,8 @@ class ShardedModel(Model):
                 # keep one compiled shape: pad the tail chunk
                 pad_rows = chunk_size - chunk.shape[0]
                 chunk_run = jnp.pad(chunk, ((0, pad_rows), (0, 0)))
-                o = halo_masked_query_outputs(
-                    self.model_def, self.params, x, chunk_run, part,
-                    self.mesh, int(query), self.axis,
-                )[: chunk.shape[0]]
+                o = run(chunk_run)[: chunk.shape[0]]
             else:
-                o = halo_masked_query_outputs(
-                    self.model_def, self.params, x, chunk, part,
-                    self.mesh, int(query), self.axis,
-                )
+                o = run(chunk)
             outs.append(o)
         return jnp.concatenate(outs) if len(outs) > 1 else outs[0]

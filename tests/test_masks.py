@@ -3,10 +3,12 @@ validity: dtype, row counts, per-row coalition consistency)."""
 
 import jax
 import numpy as np
+import pytest
 
 from bikg_graph_explainability_public_tpu.explain.masks import (
     MaskSampler,
     build_plans,
+    sample_community_mask,
 )
 
 PARAMS = {"interpret_samples": 20, "epochs": 50}
@@ -100,3 +102,42 @@ class TestCommunityMask:
         sampler = MaskSampler(5000, 5120, PARAMS, comms)
         mask, tags, bs = sampler.sample(jax.random.PRNGKey(4))
         assert np.asarray(mask).shape[0] <= 1000
+
+
+class TestSamplerValidation:
+    def test_non_numeric_interpret_samples_raises_cleanly(self):
+        """The curated TypeError fires before abs() (VERDICT r1 item 9)."""
+        with pytest.raises(TypeError, match="interpret_samples is not numeric"):
+            MaskSampler(10, 16, {"interpret_samples": "20", "epochs": 5})
+
+    def test_non_numeric_epochs_raises_cleanly(self):
+        with pytest.raises(TypeError, match="epochs is not numeric"):
+            MaskSampler(10, 16, {"interpret_samples": 20, "epochs": None})
+
+
+class TestBudgetCapOracle:
+    """The >4000-element budget-cap break fires on the same pathway as the
+    reference (masks.py:343-348 checks cumulative BEFORE counting the
+    just-appended block; so does build_plans' consumer)."""
+
+    def test_break_point_matches_reference_semantics(self):
+        num_elements = 5000
+        total = 40
+        pathway_inds = [list(range(i * 500, i * 500 + 500)) for i in range(10)]
+        plans = build_plans(pathway_inds, total)
+
+        # reference semantics: iterate, check-then-increment
+        cumulative = 0
+        expected_blocks = 0
+        for plan in plans:
+            expected_blocks += 1
+            if cumulative > total and num_elements > 4000:
+                break
+            cumulative += plan.size
+
+        mask, tags = sample_community_mask(
+            jax.random.PRNGKey(0), pathway_inds, num_elements, 5120, total
+        )
+        # number of distinct pathway tags appearing == blocks appended
+        produced_blocks = len(np.unique(np.asarray(tags)))
+        assert produced_blocks == expected_blocks
