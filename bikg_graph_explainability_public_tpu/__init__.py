@@ -29,12 +29,16 @@ from .explain.pathways import Pathways
 from .explain.wlm import train_model, train_surrogate, init_surrogate_weights
 from .models.adapter import Model
 from .models.gnn import (
+    ConvStackNodeModel,
     GCNNodeModel,
     HeteroGNN,
+    gat_node_model,
+    gin_node_model,
     hetero_gcn_for_relations,
     hetero_gat_for_relations,
+    sage_node_model,
 )
-from .models.layers import GCNConv, GATConv, Linear
+from .models.layers import GCNConv, GATConv, GINConv, Linear, SAGEConv
 from .compat import Data, Kernel, Mask, LinearRegression
 from .config import ExplainerConfig, load_config
 from .version import VERSION, get_version
@@ -62,12 +66,18 @@ __all__ = [
     "train_surrogate",
     "init_surrogate_weights",
     "Model",
+    "ConvStackNodeModel",
     "GCNNodeModel",
     "HeteroGNN",
+    "gat_node_model",
+    "gin_node_model",
+    "sage_node_model",
     "hetero_gcn_for_relations",
     "hetero_gat_for_relations",
     "GCNConv",
     "GATConv",
+    "GINConv",
+    "SAGEConv",
     "Linear",
     "Data",
     "Kernel",

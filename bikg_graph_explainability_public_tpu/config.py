@@ -50,7 +50,7 @@ class ExplainerConfig:
     forward_chunk: Optional[int] = None  # vmap chunk for masked forwards
     mesh_shape: Optional[Tuple[int, ...]] = None  # (data, model)
     matmul_precision: str = "default"  # "default" | "highest"
-    spmm_backend: str = "xla"  # "xla" | "pallas"
+    spmm_backend: str = "auto"  # "xla" | "pallas" | "auto"
 
     def validate(self) -> "ExplainerConfig":
         if not isinstance(self.optimizer, str):
@@ -65,7 +65,7 @@ class ExplainerConfig:
             raise TypeError("Number of epochs in batch is not numeric")
         if self.pad_mode not in ("pow2", "multiple", "exact"):
             raise ValueError(f"unknown pad_mode {self.pad_mode!r}")
-        if self.spmm_backend not in ("xla", "pallas"):
+        if self.spmm_backend not in ("xla", "pallas", "auto"):
             raise ValueError(f"unknown spmm_backend {self.spmm_backend!r}")
         return self
 

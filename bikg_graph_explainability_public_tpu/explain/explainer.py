@@ -231,6 +231,10 @@ class Explainer:
         timings (the reference computes losses but discards them,
         ``explainer.py:502``).
         """
+        if "spmm_backend" in self.params:
+            from ..ops import spmm
+
+            spmm.set_backend(self.params["spmm_backend"])
         graph, hetero_info, names = self._prepare_graph()
 
         pathways, pathway_names, pathway_types = self.pathways, self.pathway_names, None

@@ -106,10 +106,24 @@ class Model:
         is_edge = "edge" in problem
         is_graph = "graph" in problem
         nvalid = graph.node_mask.astype(graph.x.dtype)
+        # homogeneous models exposing backbone/head run the FC head on the
+        # query row only (the reference runs its head on every node of every
+        # perturbation and discards all but one value, model.py:294-328)
+        split_head = (
+            not is_graph
+            and not isinstance(self.model_def, HeteroGNN)
+            and hasattr(self.model_def, "backbone")
+            and hasattr(self.model_def, "head")
+        )
 
         def one(m):
             mf = m.astype(graph.x.dtype)
             ew = base * (mf if is_edge else mf[snd] * mf[rcv])
+            if split_head:
+                h = self.model_def.backbone(
+                    self.params, graph.x, snd, rcv, ew
+                )
+                return self.model_def.head(self.params, h[query][None, :])[0, 0]
             out = fwd(ew)
             if is_graph:
                 # global mean pool over valid nodes

@@ -16,7 +16,7 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from .layers import GATConv, GCNConv, Linear, relu, sigmoid
+from .layers import GATConv, GCNConv, GINConv, Linear, SAGEConv, relu, sigmoid
 
 
 class GCNNodeModel:
@@ -93,6 +93,130 @@ class GCNNodeModel:
         (``model.py:294-328``)."""
         h = self.backbone(params, x, senders, receivers, edge_weight)
         return self.head(params, h[query][None, :])[0]
+
+
+class ConvStackNodeModel:
+    """Generic black-box node model: any conv stack + FC head.
+
+    This is the documented **custom-model protocol** (reference analogue: any
+    PyG module accepted via arity dispatch, ``model.py:62-116``): a model is
+    an object with
+
+    * ``num_hops`` — receptive-field depth (the reference infers it by
+      counting MessagePassing modules, ``model.py:28-60``),
+    * ``apply(params, x, senders, receivers, edge_weight) -> [N, out]`` —
+      a pure function where ``edge_weight`` carries both graph validity and
+      the perturbation mask (0 = edge absent),
+    * optionally ``backbone``/``head`` split so the head runs on the query
+      row only (the reference wastes head FLOPs on every node,
+      ``model.py:294-328``).
+
+    ``convs`` may mix any layers exposing
+    ``apply(params, x, senders, receivers, edge_weight)`` — the built-in
+    GCNConv / GATConv / SAGEConv / GINConv or user classes.  Anything
+    satisfying this protocol runs through :class:`..adapter.Model` and
+    ``Explainer`` unchanged (asserted in tests/test_models.py).
+    """
+
+    def __init__(
+        self,
+        convs: Sequence[Any],
+        fc_channels: Sequence[int] = (16, 16, 32),
+        out_features: int = 1,
+        final_activation: Callable = sigmoid,
+    ):
+        self.convs = list(convs)
+        self.fc_channels = tuple(fc_channels)
+        self.out_features = out_features
+        self.final_activation = final_activation
+        self.fcs: List[Linear] = []
+        for i, c in enumerate(self.fc_channels):
+            nxt = (
+                self.fc_channels[i + 1]
+                if i + 1 < len(self.fc_channels)
+                else out_features
+            )
+            self.fcs.append(Linear(c, nxt))
+
+    @property
+    def num_hops(self) -> int:
+        return len(self.convs)
+
+    def init(self, key: jax.Array) -> Dict[str, Any]:
+        kc = jax.random.split(key, len(self.convs) + len(self.fcs))
+        return {
+            "conv": [m.init(k) for m, k in zip(self.convs, kc[: len(self.convs)])],
+            "fc": [m.init(k) for m, k in zip(self.fcs, kc[len(self.convs) :])],
+        }
+
+    def backbone(self, params, x, senders, receivers, edge_weight) -> jax.Array:
+        for conv, p in zip(self.convs, params["conv"]):
+            x = relu(conv.apply(p, x, senders, receivers, edge_weight))
+        return x
+
+    def head(self, params, x: jax.Array) -> jax.Array:
+        n = len(self.fcs)
+        for i, (fc, p) in enumerate(zip(self.fcs, params["fc"])):
+            x = fc.apply(p, x)
+            x = self.final_activation(x) if i == n - 1 else relu(x)
+        return x
+
+    def apply(self, params, x, senders, receivers, edge_weight) -> jax.Array:
+        return self.head(
+            params, self.backbone(params, x, senders, receivers, edge_weight)
+        )
+
+
+def gat_node_model(
+    in_features: int,
+    conv_channels: Sequence[int] = (16,),
+    heads: int = 1,
+    fc_channels: Sequence[int] = (16, 16, 32),
+    out_features: int = 1,
+    add_self_loops: bool = True,
+) -> ConvStackNodeModel:
+    """Homogeneous GAT stack + FC head (PyG ``GATConv`` defaults: shared
+    src/dst linear map imported from one ``lin_src`` weight, unit self-loops
+    in the softmax)."""
+    convs = []
+    prev = in_features
+    for c in conv_channels:
+        convs.append(
+            GATConv((prev, prev), c, heads=heads, add_self_loops=add_self_loops)
+        )
+        prev = c * heads
+    return ConvStackNodeModel(convs, fc_channels, out_features)
+
+
+def sage_node_model(
+    in_features: int,
+    conv_channels: Sequence[int] = (16,),
+    fc_channels: Sequence[int] = (16, 16, 32),
+    out_features: int = 1,
+) -> ConvStackNodeModel:
+    """GraphSAGE stack + FC head (PyG ``SAGEConv`` mean-aggregation)."""
+    convs = []
+    prev = in_features
+    for c in conv_channels:
+        convs.append(SAGEConv(prev, c))
+        prev = c
+    return ConvStackNodeModel(convs, fc_channels, out_features)
+
+
+def gin_node_model(
+    in_features: int,
+    conv_channels: Sequence[int] = (16,),
+    mlp_hidden: int = 16,
+    fc_channels: Sequence[int] = (16, 16, 32),
+    out_features: int = 1,
+) -> ConvStackNodeModel:
+    """GIN stack + FC head (PyG ``GINConv`` with a 2-layer MLP)."""
+    convs = []
+    prev = in_features
+    for c in conv_channels:
+        convs.append(GINConv(prev, c, mlp_channels=(mlp_hidden,)))
+        prev = c
+    return ConvStackNodeModel(convs, fc_channels, out_features)
 
 
 class HeteroGNN:

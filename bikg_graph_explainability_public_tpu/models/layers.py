@@ -194,10 +194,33 @@ class GATConv:
         logits = jax.nn.leaky_relu(logits, self.negative_slope)
         present = edge_weight > 0
         logits = jnp.where(present[:, None], logits, -jnp.inf)
-        alpha = segment_softmax(logits, receivers, num_nodes)
-        alpha = alpha * present[:, None].astype(alpha.dtype)
-        msg = (alpha[:, :, None] * xs[senders]).reshape(-1, h * c)
-        out = jax.ops.segment_sum(msg, receivers, num_segments=num_nodes)
+        if self.add_self_loops:
+            # PyG homogeneous default: a unit self-loop per node enters the
+            # softmax alongside the (masked) edges — never dropped by
+            # perturbation (the reference's mega-graph keeps masked nodes'
+            # rows, so the user's GATConv re-adds their self-loops too)
+            logit_self = jax.nn.leaky_relu(a_src + a_dst, self.negative_slope)
+            seg_max = jax.ops.segment_max(logits, receivers, num_segments=num_nodes)
+            m = jnp.maximum(jnp.where(jnp.isfinite(seg_max), seg_max, -jnp.inf),
+                            logit_self)
+            ex = jnp.where(present[:, None], jnp.exp(logits - m[receivers]), 0.0)
+            ex_self = jnp.exp(logit_self - m)  # [N, H]
+            denom = (
+                jax.ops.segment_sum(ex, receivers, num_segments=num_nodes)
+                + ex_self
+            )
+            denom = jnp.where(denom == 0.0, 1.0, denom)
+            msg = (ex[:, :, None] * xs[senders]).reshape(-1, h * c)
+            out = jax.ops.segment_sum(msg, receivers, num_segments=num_nodes)
+            out = out + (ex_self[:, :, None] * xs).reshape(num_nodes, h * c)
+            out = (
+                out.reshape(num_nodes, h, c) / denom[:, :, None]
+            ).reshape(num_nodes, h * c)
+        else:
+            alpha = segment_softmax(logits, receivers, num_nodes)
+            alpha = alpha * present[:, None].astype(alpha.dtype)
+            msg = (alpha[:, :, None] * xs[senders]).reshape(-1, h * c)
+            out = jax.ops.segment_sum(msg, receivers, num_segments=num_nodes)
         if not self.concat:
             out = out.reshape(num_nodes, h, c).mean(axis=1)
         if "bias" in params:
@@ -207,6 +230,112 @@ class GATConv:
             else:
                 out = out + b
         return out
+
+
+class SAGEConv:
+    """PyG-exact GraphSAGE convolution (mean aggregation):
+    ``out = lin_l(mean_w{x_u}) + lin_r(x)``.
+
+    PyG 2.0.4 layout: ``lin_l`` (aggregated neighbours, with bias) and
+    ``lin_r`` (root, no bias).  Perturbation semantics: the mean is weighted
+    by ``edge_weight`` (masked edges drop out of both numerator and
+    denominator — the static-shape equivalent of deleting them from the
+    neighbour set).
+    """
+
+    def __init__(self, in_features: int, out_features: int, bias: bool = True):
+        self.in_features = in_features
+        self.out_features = out_features
+        self.use_bias = bias
+
+    def init(self, key: jax.Array) -> Dict[str, jax.Array]:
+        k1, k2 = jax.random.split(key)
+        p = {
+            "lin_l": {"weight": glorot(k1, (self.out_features, self.in_features))},
+            "lin_r": {"weight": glorot(k2, (self.out_features, self.in_features))},
+        }
+        if self.use_bias:
+            p["lin_l"]["bias"] = jnp.zeros((self.out_features,), jnp.float32)
+        return p
+
+    def apply(
+        self,
+        params: Dict[str, jax.Array],
+        x: jax.Array,
+        senders: jax.Array,
+        receivers: jax.Array,
+        edge_weight: jax.Array,
+        *,
+        dst_scope: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        num_nodes = x.shape[0]
+        xin = x[:, : self.in_features]
+        ew = edge_weight.astype(xin.dtype)
+        num = weighted_gather_sum(ew, xin, senders, receivers, num_nodes)
+        den = jax.ops.segment_sum(ew, receivers, num_segments=num_nodes)
+        agg = num / jnp.where(den > 0, den, 1.0)[:, None]
+        out = agg @ params["lin_l"]["weight"].T + xin @ params["lin_r"]["weight"].T
+        if "bias" in params["lin_l"]:
+            b = params["lin_l"]["bias"]
+            if dst_scope is not None:
+                out = out + b * dst_scope.astype(out.dtype)[:, None]
+            else:
+                out = out + b
+        return out
+
+
+class GINConv:
+    """PyG-exact GIN convolution: ``out = mlp((1 + eps) x + sum_w{x_u})``.
+
+    The MLP is Linear/ReLU alternating (``mlp_channels`` hidden widths then
+    ``out_features``), matching the usual ``nn.Sequential`` passed to PyG's
+    GINConv; state-dict keys ``nn.{2i}.weight``.  Weighted sum aggregation
+    carries the perturbation mask.
+    """
+
+    def __init__(
+        self,
+        in_features: int,
+        out_features: int,
+        mlp_channels: Tuple[int, ...] = (),
+        eps: float = 0.0,
+    ):
+        self.in_features = in_features
+        self.out_features = out_features
+        self.mlp_channels = tuple(mlp_channels)
+        self.eps = eps
+        dims = [in_features, *self.mlp_channels, out_features]
+        self._mlp = [Linear(a, b) for a, b in zip(dims[:-1], dims[1:])]
+
+    def init(self, key: jax.Array) -> Dict[str, jax.Array]:
+        ks = jax.random.split(key, len(self._mlp))
+        return {
+            "nn": [m.init(k) for m, k in zip(self._mlp, ks)],
+            "eps": jnp.float32(self.eps),
+        }
+
+    def apply(
+        self,
+        params: Dict[str, jax.Array],
+        x: jax.Array,
+        senders: jax.Array,
+        receivers: jax.Array,
+        edge_weight: jax.Array,
+        *,
+        dst_scope: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        num_nodes = x.shape[0]
+        xin = x[:, : self.in_features]
+        agg = weighted_gather_sum(
+            edge_weight.astype(xin.dtype), xin, senders, receivers, num_nodes
+        )
+        h = (1.0 + params["eps"]) * xin + agg
+        last = len(self._mlp) - 1
+        for i, (m, p) in enumerate(zip(self._mlp, params["nn"])):
+            h = m.apply(p, h)
+            if i != last:
+                h = jax.nn.relu(h)
+        return h
 
 
 def relu(x: jax.Array) -> jax.Array:

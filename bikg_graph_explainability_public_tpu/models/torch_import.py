@@ -99,6 +99,139 @@ def hetero_gcn_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"conv": conv_layers, "fc": fc_params}
 
 
+def _fc_params(sd: Dict[str, np.ndarray]):
+    fc_params = []
+    j = 0
+    while f"fc.{2 * j}.weight" in sd:
+        fc_params.append(
+            {"weight": _j(sd[f"fc.{2 * j}.weight"]), "bias": _j(sd[f"fc.{2 * j}.bias"])}
+        )
+        j += 1
+    return fc_params
+
+
+def gat_node_model_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map a homogeneous GAT state dict to :func:`..gnn.gat_node_model`
+    params.
+
+    PyG 2.0.4 ``GATConv`` layout: ``conv.{2i}.lin_src.weight`` [H*C, in]
+    (shared with ``lin_dst`` for non-bipartite input), ``conv.{2i}.att_src``
+    / ``att_dst`` [1, H, C], ``conv.{2i}.bias``; plus the ``fc.*`` head.
+    """
+    conv_params = []
+    i = 0
+    while True:
+        pre = f"conv.{2 * i}."
+        w_key = next(
+            (k for k in (pre + "lin_src.weight", pre + "lin.weight") if k in sd),
+            None,
+        )
+        if w_key is None:
+            break
+        w_src = _j(sd[w_key])
+        w_dst = _j(sd.get(pre + "lin_dst.weight", sd[w_key]))
+        p = {
+            "lin_src": {"weight": w_src},
+            "lin_dst": {"weight": w_dst},
+            "att_src": _j(sd[pre + "att_src"]),
+            "att_dst": _j(sd[pre + "att_dst"]),
+        }
+        if pre + "bias" in sd:
+            p["bias"] = _j(sd[pre + "bias"])
+        conv_params.append(p)
+        i += 1
+    fc = _fc_params(sd)
+    if not conv_params or not fc:
+        raise ValueError("state dict does not look like a GAT conv+fc stack")
+    return {"conv": conv_params, "fc": fc}
+
+
+def hetero_gat_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map a HeteroConv-of-GATConv state dict (the reference hetero *test*
+    architecture, ``/root/reference/tests/test_utils.py:86-182``) to
+    :class:`..gnn.HeteroGNN` params: per-relation
+    ``conv.{2i}.convs.<src__rel__dst>.{lin_src,lin_dst,att_src,att_dst,bias}``.
+    """
+    conv_layers = []
+    i = 0
+    while True:
+        prefix = f"conv.{2 * i}.convs."
+        rel_keys = sorted(
+            {k[len(prefix) :].split(".")[0] for k in sd if k.startswith(prefix)}
+        )
+        if not rel_keys:
+            break
+        layer = {}
+        for rel in rel_keys:
+            rp = f"{prefix}{rel}."
+            w_src = _j(sd[rp + "lin_src.weight"])
+            p = {
+                "lin_src": {"weight": w_src},
+                "lin_dst": {
+                    "weight": _j(sd.get(rp + "lin_dst.weight", sd[rp + "lin_src.weight"]))
+                },
+                "att_src": _j(sd[rp + "att_src"]),
+                "att_dst": _j(sd[rp + "att_dst"]),
+            }
+            if rp + "bias" in sd:
+                p["bias"] = _j(sd[rp + "bias"])
+            layer[rel] = p
+        conv_layers.append(layer)
+        i += 1
+    fc = _fc_params(sd)
+    if not conv_layers or not fc:
+        raise ValueError("state dict does not look like a HeteroConv GAT stack")
+    return {"conv": conv_layers, "fc": fc}
+
+
+def sage_node_model_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """PyG 2.0.4 ``SAGEConv`` layout: ``conv.{2i}.lin_l.{weight,bias}``
+    (aggregated neighbours) + ``conv.{2i}.lin_r.weight`` (root)."""
+    conv_params = []
+    i = 0
+    while f"conv.{2 * i}.lin_l.weight" in sd:
+        pre = f"conv.{2 * i}."
+        p = {
+            "lin_l": {"weight": _j(sd[pre + "lin_l.weight"])},
+            "lin_r": {"weight": _j(sd[pre + "lin_r.weight"])},
+        }
+        if pre + "lin_l.bias" in sd:
+            p["lin_l"]["bias"] = _j(sd[pre + "lin_l.bias"])
+        conv_params.append(p)
+        i += 1
+    fc = _fc_params(sd)
+    if not conv_params or not fc:
+        raise ValueError("state dict does not look like a SAGE conv+fc stack")
+    return {"conv": conv_params, "fc": fc}
+
+
+def gin_node_model_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """PyG ``GINConv`` layout: ``conv.{2i}.nn.{2j}.{weight,bias}`` MLP keys
+    plus optional ``conv.{2i}.eps``."""
+    conv_params = []
+    i = 0
+    while f"conv.{2 * i}.nn.0.weight" in sd:
+        pre = f"conv.{2 * i}."
+        mlp = []
+        j = 0
+        while f"{pre}nn.{2 * j}.weight" in sd:
+            mlp.append(
+                {
+                    "weight": _j(sd[f"{pre}nn.{2 * j}.weight"]),
+                    "bias": _j(sd[f"{pre}nn.{2 * j}.bias"]),
+                }
+            )
+            j += 1
+        conv_params.append(
+            {"nn": mlp, "eps": _j(sd.get(pre + "eps", np.zeros(())))}
+        )
+        i += 1
+    fc = _fc_params(sd)
+    if not conv_params or not fc:
+        raise ValueError("state dict does not look like a GIN conv+fc stack")
+    return {"conv": conv_params, "fc": fc}
+
+
 def hetero_relations_from_state_dict(sd: Dict[str, np.ndarray]):
     """Recover the relation tuples encoded in hetero checkpoint keys
     (``src__rel__dst`` naming, PyG ``HeteroConv`` module-dict convention)."""

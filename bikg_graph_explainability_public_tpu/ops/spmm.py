@@ -1,36 +1,60 @@
-"""Sparse matrix-matrix product (neighbour aggregation) backends.
+"""Sparse aggregation backends (the torch-scatter/torch-sparse role,
+``/root/reference/dev_setup.sh:6-8``).
 
-``weighted_gather_sum`` is the framework's single aggregation entry point:
-``out[v] = sum_e w_e * feats[src_e]`` over edges with ``dst_e == v``.  This is
-the hot op of every GNN forward — the role torch-scatter/torch-sparse play
-for the reference (``/root/reference/dev_setup.sh:6-8``).
+Two entry points:
 
-Backends:
-  * ``xla``   — gather + XLA scatter-add (default; always correct, any shape)
-  * ``pallas``— row-blocked CSR Pallas kernel tiled for the MXU/VPU
-                (see :mod:`.spmm_pallas`), used when the graph provides CSR
-                metadata and shapes are TPU-friendly.
+* :func:`weighted_gather_sum` — per-edge scalar weights, ``[N, F]`` features
+  (the generic layer path: GCNConv / GATConv / SAGEConv / GINConv).
+* :func:`weighted_gather_sum_batched` — per-edge per-sample weights over
+  batch-contiguous ``[N, B*F]`` features (the batched explainer hot loop,
+  ``models/fast_gcn.py`` layers >= 2).
 
-The active backend is process-global and can be overridden per call.
+Backends (process-global via :func:`set_backend`, or per-call; the
+``ExplainerConfig.spmm_backend`` knob routes here through
+``models/fast_gcn.FastBatchedGCN``):
+
+* ``"xla"``    — gather + XLA scatter-add.  Always correct, any shape.
+* ``"pallas"`` — the blocked-ELL DMA-gather kernel (:mod:`.spmm_pallas`).
+  Requires a :class:`.ell.NeighborTable` and a row payload of >= 512 floats
+  (the measured v5e crossover, ``MIN_PALLAS_WIDTH``); narrower calls fall
+  back to XLA, where its gather is faster than per-row DMA issue.
+* ``"auto"``   — ``pallas`` whenever its requirements hold on TPU, else
+  ``xla``.  The default.
 """
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 
-_BACKEND = "xla"
+from .spmm_pallas import MIN_PALLAS_WIDTH, batched_gather_sum
+
+_BACKENDS = ("xla", "pallas", "auto")
+_BACKEND = "auto"
 
 
 def set_backend(name: str) -> None:
     global _BACKEND
-    if name not in ("xla", "pallas"):
-        raise ValueError(f"unknown spmm backend {name!r}")
+    if name not in _BACKENDS:
+        raise ValueError(f"unknown spmm backend {name!r}; one of {_BACKENDS}")
     _BACKEND = name
 
 
 def get_backend() -> str:
     return _BACKEND
+
+
+def _use_pallas(backend: Optional[str], table, width: int) -> bool:
+    b = backend or _BACKEND
+    if b == "xla" or table is None:
+        return False
+    if width % 128 or width < MIN_PALLAS_WIDTH:
+        return False  # measured: XLA gather beats per-row DMA below this
+    if b == "pallas":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def weighted_gather_sum(
@@ -39,11 +63,55 @@ def weighted_gather_sum(
     senders: jax.Array,
     receivers: jax.Array,
     num_nodes: int,
+    *,
+    table=None,
+    backend: Optional[str] = None,
 ) -> jax.Array:
-    """out[v] = sum over edges e with receivers[e]==v of edge_weight[e] * feats[senders[e]].
+    """out[v] = sum over edges e with receivers[e]==v of
+    edge_weight[e] * feats[senders[e]].
 
     Masked/padded edges must carry weight 0 (they then contribute nothing,
-    wherever their indices point).
+    wherever their indices point).  Passing the graph's ``table``
+    (:class:`.ell.NeighborTable`) enables the Pallas backend for wide rows.
     """
+    if _use_pallas(backend, table, feats.shape[-1]):
+        # NeighborTable drops self-loop data edges; add them back separately
+        # (cheap [E] pass, exact for graphs with or without self-loops)
+        out = batched_gather_sum(table, edge_weight[:, None], feats, b=1)
+        self_w = jax.ops.segment_sum(
+            jnp.where(senders == receivers, edge_weight, 0.0), receivers,
+            num_segments=num_nodes,
+        )
+        return out + self_w[:, None] * feats
     msg = edge_weight[:, None] * feats[senders]
     return jax.ops.segment_sum(msg, receivers, num_segments=num_nodes)
+
+
+def weighted_gather_sum_batched(
+    edge_weight_eb: jax.Array,  # [E, B] per-edge per-sample weights
+    feats_bc: jax.Array,        # [N, B*F] batch-contiguous features
+    senders: jax.Array,         # [E] (receiver-sorted for the XLA path)
+    receivers: jax.Array,       # [E]
+    num_nodes: int,
+    b: int,
+    *,
+    table=None,
+    backend: Optional[str] = None,
+    indices_are_sorted: bool = True,
+) -> jax.Array:                 # [N, B*F]
+    """Batched aggregation: out[v] = sum_e w[e, :] * feats[snd_e] with the
+    per-sample weight broadcast over each sample's F block.
+
+    The hot op of big-graph batched forwards.  ``edge_weight_eb`` rows must
+    be indexed like ``senders``/``receivers`` (for the pallas path the
+    table's ``eid`` re-indexes into the same order).
+    """
+    if _use_pallas(backend, table, feats_bc.shape[-1]):
+        return batched_gather_sum(table, edge_weight_eb, feats_bc, b=b)
+    f = feats_bc.shape[-1] // b
+    msg = feats_bc[senders].reshape(-1, b, f) * edge_weight_eb[:, :, None]
+    return jax.ops.segment_sum(
+        msg.reshape(-1, b * f).astype(jnp.float32),  # f32 accumulation
+        receivers, num_segments=num_nodes,
+        indices_are_sorted=indices_are_sorted,
+    )

