@@ -360,3 +360,59 @@ class TestHaloEdgeGraphProblems:
         masks = jnp.ones((4, g.n_pad), bool)
         with pytest.raises(NotImplementedError, match="replicated"):
             sharded.perturbed_query_outputs(g, masks, "node_prediction", 0)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestMultiHost:
+    """Emulated multi-host topology: outermost `host` axis (docs/distributed.md)."""
+
+    def test_make_multihost_mesh_shapes(self):
+        from bikg_graph_explainability_public_tpu.parallel.mesh import (
+            make_multihost_mesh,
+        )
+
+        m = make_multihost_mesh(hosts=2)
+        assert m.axis_names == ("host", "data")
+        assert m.shape["host"] == 2 and m.shape["data"] == len(jax.devices()) // 2
+
+        m3 = make_multihost_mesh(
+            axis_names=("host", "data", "model"), hosts=2, inner_shape=(2, 2)
+        )
+        assert dict(m3.shape) == {"host": 2, "data": 2, "model": 2}
+
+        with pytest.raises(ValueError, match="fold"):
+            make_multihost_mesh(hosts=3)
+
+    def test_hierarchical_batch_matches_single_device(self):
+        """Training step numerics identical when the batch shards over
+        (host, data) jointly vs one device."""
+        from bikg_graph_explainability_public_tpu.parallel.mesh import (
+            hierarchical_batch_sharding,
+            make_multihost_mesh,
+        )
+
+        model, g, _, _ = _model_and_graph()
+        sampler = MaskSampler(24, g.n_pad, {"interpret_samples": 8, "epochs": 8}, None)
+        masks, _, _ = sampler.sample(jax.random.PRNGKey(7))
+        step = explain_training_step(model, g, "node_prediction", 3, 24)
+        w0 = px.init_surrogate_weights(jax.random.PRNGKey(8), g.n_pad, 24)
+        z = jnp.zeros_like(w0)
+
+        w_a, _, _, _, loss_a = jax.jit(step)(w0, z, z, jnp.float32(0), masks)
+
+        mh = make_multihost_mesh(hosts=2)
+        masks_h = jax.device_put(masks, hierarchical_batch_sharding(mh))
+        w_b, _, _, _, loss_b = jax.jit(step)(w0, z, z, jnp.float32(0), masks_h)
+        np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(w_a), np.asarray(w_b), rtol=1e-4, atol=1e-7
+        )
+
+    def test_initialize_distributed_single_process_noop(self):
+        from bikg_graph_explainability_public_tpu.parallel.mesh import (
+            initialize_distributed,
+        )
+
+        # no coordinator, not a TPU pod -> must not raise, must report False
+        if jax.default_backend() != "tpu":
+            assert initialize_distributed() is False
