@@ -12,6 +12,7 @@ bench:
 lint:
 	python -m compileall -q bikg_graph_explainability_public_tpu
 	python -c "import bikg_graph_explainability_public_tpu"
+	python scripts/lint.py
 
 native:
 	g++ -O3 -march=native -shared -fPIC \

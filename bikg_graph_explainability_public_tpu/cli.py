@@ -49,6 +49,7 @@ def _load_graph(path: str):
 
 
 def cmd_explain(args: argparse.Namespace) -> int:
+    """Run one explanation from the command line and print/save the DataFrames."""
     import os
 
     import bikg_graph_explainability_public_tpu as px
@@ -136,6 +137,7 @@ def cmd_explain(args: argparse.Namespace) -> int:
 
 
 def cmd_bench(_args: argparse.Namespace) -> int:
+    """Run the repo benchmark (delegates to bench.py main)."""
     import runpy
     import os
 
@@ -147,6 +149,7 @@ def cmd_bench(_args: argparse.Namespace) -> int:
 
 
 def cmd_version(_args: argparse.Namespace) -> int:
+    """Print the package version."""
     from .version import get_version
 
     print(get_version(with_git_hash=True))
@@ -154,6 +157,7 @@ def cmd_version(_args: argparse.Namespace) -> int:
 
 
 def main(argv=None) -> int:
+    """CLI entry point (the reference declared but never implemented one, setup.cfg:88-90)."""
     p = argparse.ArgumentParser(
         prog="bikg_graph_explainability_public_tpu",
         description="TPU-native community-aware GNN explainability",

@@ -32,6 +32,7 @@ class Data:
         self.edge_index = edge_index
 
     def to_graph(self) -> Graph:
+        """Build the native padded Graph from the stored arrays."""
         if isinstance(self.feat, dict):
             g, _info = hetero_to_homo(self.feat, self.edge_index)
             return g
@@ -45,6 +46,7 @@ class Data:
         return self.to_graph(), None
 
     def element_size(self, problem: str) -> int:
+        """Node/edge count for the problem type (reference data.py:363)."""
         g = self.to_graph()
         from .graph import element_size
 
@@ -59,6 +61,7 @@ class Kernel:
         self.mask = jnp.asarray(np.asarray(mask, bool))
 
     def compute(self, normalized: bool = True) -> jax.Array:
+        """KernelSHAP weight per mask row (reference kernels.py:115)."""
         return shap_kernel(self.mask, normalized=normalized)
 
 
@@ -93,8 +96,10 @@ class LinearRegression:
         self.width = width or num_elements
 
     def init(self, key: jax.Array) -> jax.Array:
+        """Initialize the surrogate weight vector."""
         return init_surrogate_weights(key, self.width, self.num_elements)
 
     @staticmethod
     def apply(weights: jax.Array, mask: jax.Array) -> jax.Array:
+        """Surrogate forward: mask @ w (reference wlm.py:45)."""
         return mask.astype(jnp.float32) @ weights

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
 #: Reference defaults (config/configs.json:1-9)
@@ -53,6 +53,7 @@ class ExplainerConfig:
     spmm_backend: str = "auto"  # "xla" | "pallas" | "auto"
 
     def validate(self) -> "ExplainerConfig":
+        """Raise AssertionError on out-of-range fields (reference explainer.py:162)."""
         if not isinstance(self.optimizer, str):
             raise TypeError("Optimizer is not string")
         if self.optimizer.strip().lower() != "adam":
@@ -71,12 +72,14 @@ class ExplainerConfig:
 
     # -- dict interoperability (the Explainer accepts either) -----------
     def to_dict(self) -> Dict[str, Any]:
+        """Plain-dict view (the reference's params dict shape)."""
         return dataclasses.asdict(self)
 
     def __getitem__(self, key: str):
         return getattr(self, key)
 
     def get(self, key: str, default=None):
+        """dict.get-style access for reference-parity call sites."""
         return getattr(self, key, default)
 
     def __contains__(self, key: str) -> bool:
@@ -84,11 +87,13 @@ class ExplainerConfig:
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "ExplainerConfig":
+        """Build from a reference-style params dict, applying defaults."""
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in known}).validate()
 
     @classmethod
     def from_json(cls, path: str) -> "ExplainerConfig":
+        """Load from a configs.json file (reference config/configs.json schema)."""
         with open(path) as f:
             return cls.from_dict(json.load(f))
 

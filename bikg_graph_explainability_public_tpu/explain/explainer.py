@@ -14,15 +14,13 @@ irreproducible; here the repeat index is folded into a counter-based PRNG key
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
 from ..graph import (
-    Graph,
     element_size,
     from_arrays,
     hetero_names_to_homo,

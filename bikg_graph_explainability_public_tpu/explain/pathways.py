@@ -15,7 +15,7 @@ match is by substring.
 from __future__ import annotations
 
 import itertools
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -70,6 +70,8 @@ class Pathways:
     # name -> index conversion (reference pathways.py:104-136)
     # ------------------------------------------------------------------
     def names2inds(self, names: Sequence) -> List[List[int]]:
+        """Element-name lists -> index lists against the subgraph's names
+        (reference pathways.py:104)."""
         if len(self.communities) and isinstance(self.communities[0][0], (int, np.integer)):
             return self.communities
         inds = []
@@ -84,6 +86,7 @@ class Pathways:
     # hetero -> homo flattening (reference pathways.py:138-232)
     # ------------------------------------------------------------------
     def shift_hetero_pathways(self, pointers: Sequence[int]) -> None:
+        """Shift integer communities by per-type node pointers (reference pathways.py:138)."""
         keys = list(self.communities.keys())
         for key, pointer in zip(keys, pointers):
             for i in range(len(self.communities[key])):

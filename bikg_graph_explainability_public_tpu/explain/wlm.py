@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +36,7 @@ from .kernels import shap_kernel
 
 
 class TrainResult(NamedTuple):
+    """Surrogate training output: weights, per-epoch losses, best epoch."""
     weights: jax.Array  # [S] best-loss surrogate coefficients
     losses: jax.Array  # [epochs]
     best_epoch: jax.Array  # scalar int32
@@ -61,6 +62,8 @@ def train_surrogate(
     l1_lambda: float = 1e-4,
     weight_decay: float = 1e-2,
 ) -> TrainResult:
+    """Train the weighted linear surrogate with scan-compiled Adam;
+    returns TrainResult (reference wlm.py:132)."""
     width = w0.shape[0]
     col_valid = (jnp.arange(width) < num_valid).astype(jnp.float32)
 

@@ -133,14 +133,17 @@ class Graph:
 
     @property
     def n_pad(self) -> int:
+        """Padded node count (static shape)."""
         return self.x.shape[0]
 
     @property
     def e_pad(self) -> int:
+        """Padded edge count (static shape)."""
         return self.senders.shape[0]
 
     @property
     def num_features(self) -> int:
+        """Feature width F."""
         return self.x.shape[1]
 
     def edge_index(self) -> jnp.ndarray:
@@ -148,6 +151,7 @@ class Graph:
         return jnp.stack([self.senders, self.receivers], axis=0)
 
     def with_features(self, x: jax.Array) -> "Graph":
+        """Copy of this graph with a replaced [N_pad, F] feature matrix."""
         return dataclasses.replace(self, x=x)
 
 
@@ -170,10 +174,12 @@ class HeteroInfo:
 
     @property
     def num_relations(self) -> int:
+        """Number of edge types."""
         return len(self.edge_type_names)
 
     @property
     def num_node_types(self) -> int:
+        """Number of node types."""
         return len(self.node_type_names)
 
 

@@ -9,7 +9,6 @@ chunked forward with per-edge weight multipliers.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax

@@ -8,7 +8,7 @@ state dict for interchange with the reference ecosystem.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Tuple, Union
+from typing import Any, Dict
 
 import numpy as np
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ order) — asserted in tests.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -27,9 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.ell import (
-    NeighborTable,
     build_neighbor_table,
-    ell_aggregate_per_sample,
     ell_aggregate_shared,
     gcn_coeffs_from_edge_mask,
     gcn_coeffs_from_node_mask,
@@ -484,6 +481,7 @@ class FastBatchedGCN:
         return self.model_def.head(self.params, h[:, 0, :])[:, 0]
 
     def edge_query_plan(self, query: int) -> Optional[EdgeQueryPlan]:
+        """Receptive-field plan for edge-masked forwards (cached; None when infeasible)."""
         q = int(query)
         if q not in self._edge_plans:
             self._edge_plans[q] = _build_edge_query_plan(

@@ -203,6 +203,7 @@ class FastBatchedHeteroGCN:
         return s, self_w
 
     def batch_node_outputs(self, masks: jax.Array) -> jax.Array:
+        """All-node outputs for every mask row ([B, N, out])."""
         s, self_w = self._layer_terms(masks)  # [R, B, N] each
         sd = s.astype(self.dtype)
 
@@ -249,6 +250,7 @@ class FastBatchedHeteroGCN:
         problem: str = "node_prediction",
         chunk_size: int = 128,
     ) -> jax.Array:
+        """One output per mask row for the query element (node/edge/graph problems)."""
         is_graph = "graph" in problem
         if self.restrict and not is_graph and isinstance(query, (int, np.integer)):
             plan = self.query_plan(int(query))
@@ -321,6 +323,7 @@ class FastBatchedHeteroGAT:
         ).astype(np.float32)  # [R, N]
 
     def query_plan(self, query: int):
+        """Receptive-field plan for the query (cached; None when infeasible)."""
         q = int(query)
         if q in self._plans:
             return self._plans[q]

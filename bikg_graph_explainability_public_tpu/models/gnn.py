@@ -11,10 +11,9 @@ vmapped over the perturbation axis.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from .layers import GATConv, GCNConv, GINConv, Linear, SAGEConv, relu, sigmoid
 
@@ -59,9 +58,11 @@ class GCNNodeModel:
 
     @property
     def num_hops(self) -> int:
+        """Receptive-field depth = number of conv layers (reference model.py:28)."""
         return len(self.convs)
 
     def init(self, key: jax.Array) -> Dict[str, Any]:
+        """Initialize all layer parameters as one pytree."""
         kc = jax.random.split(key, len(self.convs) + len(self.fcs))
         return {
             "conv": [m.init(k) for m, k in zip(self.convs, kc[: len(self.convs)])],
@@ -69,11 +70,13 @@ class GCNNodeModel:
         }
 
     def backbone(self, params, x, senders, receivers, edge_weight) -> jax.Array:
+        """Conv stack only: per-node hidden representations."""
         for conv, p in zip(self.convs, params["conv"]):
             x = relu(conv.apply(p, x, senders, receivers, edge_weight))
         return x
 
     def head(self, params, x: jax.Array) -> jax.Array:
+        """FC head + final activation on [N, C] representations."""
         n = len(self.fcs)
         for i, (fc, p) in enumerate(zip(self.fcs, params["fc"])):
             x = fc.apply(p, x)
@@ -140,9 +143,11 @@ class ConvStackNodeModel:
 
     @property
     def num_hops(self) -> int:
+        """Receptive-field depth = number of conv layers."""
         return len(self.convs)
 
     def init(self, key: jax.Array) -> Dict[str, Any]:
+        """Initialize all layer parameters as one pytree."""
         kc = jax.random.split(key, len(self.convs) + len(self.fcs))
         return {
             "conv": [m.init(k) for m, k in zip(self.convs, kc[: len(self.convs)])],
@@ -150,11 +155,13 @@ class ConvStackNodeModel:
         }
 
     def backbone(self, params, x, senders, receivers, edge_weight) -> jax.Array:
+        """Conv stack only: per-node hidden representations."""
         for conv, p in zip(self.convs, params["conv"]):
             x = relu(conv.apply(p, x, senders, receivers, edge_weight))
         return x
 
     def head(self, params, x: jax.Array) -> jax.Array:
+        """FC head + final activation."""
         n = len(self.fcs)
         for i, (fc, p) in enumerate(zip(self.fcs, params["fc"])):
             x = fc.apply(p, x)
@@ -162,6 +169,7 @@ class ConvStackNodeModel:
         return x
 
     def apply(self, params, x, senders, receivers, edge_weight) -> jax.Array:
+        """Full forward: backbone then head (the custom-model protocol)."""
         return self.head(
             params, self.backbone(params, x, senders, receivers, edge_weight)
         )
@@ -260,13 +268,16 @@ class HeteroGNN:
 
     @property
     def num_hops(self) -> int:
+        """Receptive-field depth (PyG divides by relation count, model.py:57-59)."""
         return len(self.conv_layers)
 
     @property
     def relations(self) -> List[Tuple[str, str, str]]:
+        """Relation keys in layer order."""
         return list(self.conv_layers[0].keys())
 
     def init(self, key: jax.Array) -> Dict[str, Any]:
+        """Initialize per-relation conv + FC head parameters."""
         params_layers = []
         for layer in self.conv_layers:
             ps = {}
@@ -283,6 +294,7 @@ class HeteroGNN:
     def backbone(
         self, params, x, senders, receivers, edge_weight, node_type, edge_type
     ) -> jax.Array:
+        """Per-relation convs summed per node type (HeteroConv aggr='sum')."""
         type_masks = {
             name: (node_type == i) for i, name in enumerate(self.node_type_names)
         }
@@ -303,6 +315,7 @@ class HeteroGNN:
         return x
 
     def head(self, params, x: jax.Array) -> jax.Array:
+        """FC head on the head node type's representations."""
         n = len(self.fcs)
         for i, (fc, p) in enumerate(zip(self.fcs, params["fc"])):
             x = fc.apply(p, x)
@@ -312,6 +325,7 @@ class HeteroGNN:
     def apply(
         self, params, x, senders, receivers, edge_weight, node_type, edge_type
     ) -> jax.Array:
+        """Full typed forward on the homogenized graph."""
         h = self.backbone(params, x, senders, receivers, edge_weight, node_type, edge_type)
         return self.head(params, h)
 

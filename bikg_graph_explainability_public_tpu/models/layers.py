@@ -28,6 +28,7 @@ from ..ops.spmm import weighted_gather_sum
 
 
 def glorot(key: jax.Array, shape: Tuple[int, ...]) -> jax.Array:
+    """Glorot-uniform init matching torch's for checkpoint-shaped weights."""
     fan_in, fan_out = shape[-1], shape[-2] if len(shape) > 1 else shape[-1]
     limit = math.sqrt(6.0 / (fan_in + fan_out))
     return jax.random.uniform(key, shape, jnp.float32, -limit, limit)
@@ -51,12 +52,14 @@ class Linear:
         self.bias = bias
 
     def init(self, key: jax.Array) -> Dict[str, jax.Array]:
+        """Parameters {'weight' [out,in], 'bias' [out]} (torch layout)."""
         p = kaiming_uniform_linear(key, self.out_features, self.in_features)
         if not self.bias:
             p.pop("bias")
         return p
 
     def apply(self, params: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
+        """x @ W.T + b."""
         y = x @ params["weight"].T
         if "bias" in params:
             y = y + params["bias"]
@@ -88,6 +91,7 @@ class GCNConv:
         self.normalize = normalize
 
     def init(self, key: jax.Array) -> Dict[str, jax.Array]:
+        """Parameters {'weight', 'bias'} in PyG GCNConv layout."""
         p = {"weight": glorot(key, (self.out_features, self.in_features))}
         if self.use_bias:
             p["bias"] = jnp.zeros((self.out_features,), jnp.float32)
@@ -103,6 +107,7 @@ class GCNConv:
         *,
         dst_scope: Optional[jax.Array] = None,
     ) -> jax.Array:
+        """Symmetric-normalized masked graph convolution (PyG-exact)."""
         num_nodes = x.shape[0]
         xw = x[:, : self.in_features] @ params["weight"].T
         if self.normalize:
@@ -158,6 +163,7 @@ class GATConv:
         self.use_bias = bias
 
     def init(self, key: jax.Array) -> Dict[str, jax.Array]:
+        """Parameters {'weight', 'att_src', 'att_dst', 'bias'} in PyG GATConv layout."""
         ks = jax.random.split(key, 4)
         h, c = self.heads, self.out_features
         p = {
@@ -181,6 +187,7 @@ class GATConv:
         dst_scope: Optional[jax.Array] = None,
         x_dst: Optional[jax.Array] = None,
     ) -> jax.Array:
+        """Masked attention convolution with self-loop softmax (PyG homogeneous default)."""
         num_nodes = x.shape[0]
         h, c = self.heads, self.out_features
         xd_in = x if x_dst is None else x_dst
@@ -249,6 +256,7 @@ class SAGEConv:
         self.use_bias = bias
 
     def init(self, key: jax.Array) -> Dict[str, jax.Array]:
+        """Parameters {'lin_l', 'lin_r'} in PyG SAGEConv layout."""
         k1, k2 = jax.random.split(key)
         p = {
             "lin_l": {"weight": glorot(k1, (self.out_features, self.in_features))},
@@ -268,6 +276,7 @@ class SAGEConv:
         *,
         dst_scope: Optional[jax.Array] = None,
     ) -> jax.Array:
+        """Mean-aggregate neighbours + root transform (PyG-exact)."""
         num_nodes = x.shape[0]
         xin = x[:, : self.in_features]
         ew = edge_weight.astype(xin.dtype)
@@ -308,6 +317,7 @@ class GINConv:
         self._mlp = [Linear(a, b) for a, b in zip(dims[:-1], dims[1:])]
 
     def init(self, key: jax.Array) -> Dict[str, jax.Array]:
+        """MLP parameters + eps in PyG GINConv layout."""
         ks = jax.random.split(key, len(self._mlp))
         return {
             "nn": [m.init(k) for m, k in zip(self._mlp, ks)],
@@ -324,6 +334,7 @@ class GINConv:
         *,
         dst_scope: Optional[jax.Array] = None,
     ) -> jax.Array:
+        """(1+eps)*x + sum of neighbours, through the MLP (PyG-exact)."""
         num_nodes = x.shape[0]
         xin = x[:, : self.in_features]
         agg = weighted_gather_sum(
@@ -339,8 +350,10 @@ class GINConv:
 
 
 def relu(x: jax.Array) -> jax.Array:
+    """max(x, 0)."""
     return jax.nn.relu(x)
 
 
 def sigmoid(x: jax.Array) -> jax.Array:
+    """Logistic activation."""
     return jax.nn.sigmoid(x)

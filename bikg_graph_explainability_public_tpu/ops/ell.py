@@ -15,7 +15,6 @@ replaces them with unit self-loops anyway (see :mod:`.norm`).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import NamedTuple, Optional
 
 import jax
@@ -42,6 +41,7 @@ class NeighborTable(NamedTuple):
 
     @property
     def k(self) -> int:
+        """Padded neighbours per row (ELL width)."""
         return self.nbr.shape[1]
 
 
@@ -122,7 +122,9 @@ def ell_aggregate_shared(coeff_b: jax.Array, gathered: jax.Array) -> jax.Array:
     )
 
 
-def ell_aggregate_per_sample(coeff_b: jax.Array, feats_b: jax.Array, table: NeighborTable) -> jax.Array:
+def ell_aggregate_per_sample(
+    coeff_b: jax.Array, feats_b: jax.Array, table: NeighborTable
+) -> jax.Array:
     """Batched aggregation when features differ per sample (layer >= 2).
 
     coeff_b: [B, N, K]; feats_b: [B, N, F] -> [B, N, F].

@@ -16,7 +16,7 @@ ascending original order.
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +49,7 @@ def khop_reachable(
 
 
 class Subgraph(NamedTuple):
+    """Padded k-hop subgraph plus its mapping back into the parent graph."""
     graph: Graph
     # position of each kept node in the parent graph, padded with parent n_pad
     # (host numpy — only read host-side, never shipped to the device)

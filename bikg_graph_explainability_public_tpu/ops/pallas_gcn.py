@@ -28,7 +28,6 @@ Falls back to interpreter mode off-TPU so tests run on CPU.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -124,6 +123,7 @@ def masked_gcn_layer(
     bias: jax.Array,  # [C] f32
     apply_relu: bool = True,
 ) -> jax.Array:  # [B, N, C] f32
+    """Fused masked GCN layer (Pallas): normalize + aggregate + transform in one kernel."""
     b0, n = s.shape
     c = xw.shape[1]
     b = _pad_batch(b0)
@@ -169,6 +169,7 @@ def masked_gcn_layer_batched(
     bias: jax.Array,  # [C] f32
     apply_relu: bool = True,
 ) -> jax.Array:
+    """Batched fused masked GCN layer over a [B, N] mask batch."""
     b0, n = s.shape
     c_in, c = w_t.shape
     b = _pad_batch(b0)

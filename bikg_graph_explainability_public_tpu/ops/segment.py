@@ -18,6 +18,7 @@ def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> j
 
 
 def segment_mean(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:
+    """Per-segment mean (reference pathways.py:418 aggregation primitive)."""
     s = jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
     ones = jnp.ones(data.shape[:1], data.dtype)
     cnt = jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
@@ -28,6 +29,7 @@ def segment_mean(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> 
 
 
 def segment_max(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:
+    """Per-segment max."""
     return jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
 
 

@@ -36,6 +36,7 @@ _BACKEND = "auto"
 
 
 def set_backend(name: str) -> None:
+    """Select the process-global aggregation backend ('xla' | 'pallas' | 'auto')."""
     global _BACKEND
     if name not in _BACKENDS:
         raise ValueError(f"unknown spmm backend {name!r}; one of {_BACKENDS}")
@@ -43,6 +44,7 @@ def set_backend(name: str) -> None:
 
 
 def get_backend() -> str:
+    """Current process-global aggregation backend name."""
     return _BACKEND
 
 

@@ -197,6 +197,7 @@ def spmm_ell_pallas(
     b: int = 1,
     interpret: bool = False,
 ) -> jax.Array:            # [N, W]
+    """Blocked-ELL SpMM kernel: out[v] = sum_k w[v,k] * feats[nbr[v,k]]."""
     n = w_slot.shape[0]
     w_width = feats.shape[1]
     f = w_width // b

@@ -14,10 +14,8 @@ computation is exactly the single-chip kernel.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ._shard_map import shard_map

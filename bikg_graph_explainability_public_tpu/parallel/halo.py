@@ -24,7 +24,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..utils.padding import round_up
 
@@ -60,10 +60,12 @@ class HaloPartition(NamedTuple):
 
     @property
     def n_devices(self) -> int:
+        """Number of shards."""
         return self.send_idx.shape[0]
 
     @property
     def n_total(self) -> int:
+        """Global padded node count."""
         return self.n_devices * self.n_local
 
 

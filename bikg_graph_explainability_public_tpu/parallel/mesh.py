@@ -149,4 +149,5 @@ def hierarchical_batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
+    """NamedSharding that replicates an array on every device."""
     return NamedSharding(mesh, P())

@@ -52,6 +52,7 @@ class ShardedModel(Model):
 
     @property
     def n_devices(self) -> int:
+        """Mesh size this model is partitioned over."""
         return self.mesh.shape[self.axis]
 
     def _halo(self, graph: Graph):
@@ -73,6 +74,8 @@ class ShardedModel(Model):
         query: Optional[int],
         chunk_size: int = 128,
     ) -> jax.Array:
+        """Distributed masked forwards: one output per mask row, computed
+        over the halo partition."""
         if not isinstance(self.model_def, GCNNodeModel):
             if not self.allow_replicated_fallback:
                 raise NotImplementedError(

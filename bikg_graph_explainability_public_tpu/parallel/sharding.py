@@ -11,8 +11,7 @@ assert exactly.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +30,7 @@ def shard_batch(masks: jax.Array, mesh: Mesh, axis: str = "data") -> jax.Array:
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Place a pytree fully replicated on the mesh."""
     return jax.device_put(tree, replicated(mesh))
 
 

@@ -87,6 +87,7 @@ def _lib() -> Optional[ctypes.CDLL]:
 
 
 def native_available() -> bool:
+    """True when the C++ runtime shared library is loaded."""
     return _lib() is not None
 
 
@@ -112,6 +113,7 @@ def build_csr(n: int, src, dst) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def max_degree(n: int, dst) -> int:
+    """Maximum in-degree over receivers (native, numpy fallback)."""
     dst = _c32(dst)
     lib = _lib()
     if lib is not None:
@@ -199,6 +201,8 @@ def build_halo_plan(n: int, src, dst, n_local: int, d: int, round_to: int = 8):
 
 
 def edge_mask_from_node_mask(src, dst, node_mask) -> np.ndarray:
+    """Edge keep-mask from a node mask: keep iff both endpoints kept
+    (reference data.py:431-444 in1d role)."""
     src, dst = _c32(src), _c32(dst)
     node_mask = np.ascontiguousarray(np.asarray(node_mask, np.uint8))
     lib = _lib()

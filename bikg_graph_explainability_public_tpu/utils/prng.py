@@ -13,6 +13,7 @@ import jax
 
 
 def root_key(seed: int) -> jax.Array:
+    """Deterministic root PRNG key from the config seed."""
     return jax.random.PRNGKey(int(seed))
 
 

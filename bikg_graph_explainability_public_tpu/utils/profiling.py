@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Dict, Iterator, Optional
+from typing import Dict, Iterator
 
 import jax
 
@@ -24,6 +24,7 @@ class PhaseTimer:
 
     @contextlib.contextmanager
     def phase(self, name: str, sync=None) -> Iterator[None]:
+        """Context manager timing one named phase."""
         t0 = time.perf_counter()
         try:
             yield
@@ -35,6 +36,7 @@ class PhaseTimer:
             self.counts[name] = self.counts.get(name, 0) + 1
 
     def summary(self) -> str:
+        """Dict of phase -> seconds."""
         lines = ["phase                          total_s   calls"]
         for name, total in sorted(self.totals.items(), key=lambda kv: -kv[1]):
             lines.append(f"{name:<30} {total:8.3f}   {self.counts[name]}")

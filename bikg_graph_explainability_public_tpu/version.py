@@ -26,4 +26,5 @@ def get_git_hash() -> str:
 
 
 def get_version(with_git_hash: bool = False) -> str:
+    """Version string, optionally with the git hash (reference version.py:35)."""
     return f"{VERSION}-{get_git_hash()}" if with_git_hash else VERSION

@@ -1,0 +1,197 @@
+"""Project linter (AST-based, stdlib-only).
+
+The reference gates on lint/mypy/doc8/docstr-coverage under tox
+(``/root/reference/tox.ini:12-28``).  This image ships none of those tools
+and installs are forbidden, so this is a self-contained equivalent that
+``make lint`` runs and that FAILS the build on regressions:
+
+  F401  unused import
+  E722  bare ``except:``
+  B006  mutable default argument
+  E501  line longer than 100 characters
+  D100  missing module docstring
+  D103  missing docstring on a public function/class (docstring coverage
+        must stay >= 90% per package — the reference's docstr-coverage role)
+  T201  print() call in library code (benchmarks/scripts/tests exempt)
+
+Usage: python scripts/lint.py [paths...]   (default: the package + tests)
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import sys
+from dataclasses import dataclass
+
+MAX_LINE = 100
+MIN_DOC_COVERAGE = 0.90
+
+
+@dataclass
+class Finding:
+    path: str
+    line: int
+    code: str
+    msg: str
+
+    def __str__(self) -> str:
+        return f"{self.path}:{self.line}: {self.code} {self.msg}"
+
+
+def _is_library(path: str) -> bool:
+    if os.path.basename(path) == "cli.py":
+        return False  # the CLI prints to stdout by design
+    return ("bikg_graph_explainability_public_tpu" in path
+            and os.sep + "tests" not in path)
+
+
+class ImportTracker(ast.NodeVisitor):
+    """Collect imported names and every name usage."""
+
+    def __init__(self) -> None:
+        self.imports: dict[str, int] = {}  # name -> lineno
+        self.used: set[str] = set()
+
+    def visit_Import(self, node: ast.Import) -> None:
+        for a in node.names:
+            name = (a.asname or a.name).split(".")[0]
+            self.imports[name] = node.lineno
+
+    def visit_ImportFrom(self, node: ast.ImportFrom) -> None:
+        if node.module == "__future__":
+            return
+        for a in node.names:
+            if a.name == "*":
+                continue
+            self.imports[a.asname or a.name] = node.lineno
+
+    def visit_Name(self, node: ast.Name) -> None:
+        self.used.add(node.id)
+
+    def visit_Attribute(self, node: ast.Attribute) -> None:
+        self.generic_visit(node)
+
+
+def check_file(path: str, src: str) -> tuple[list[Finding], int, int]:
+    """Returns (findings, documented_publics, total_publics)."""
+    findings: list[Finding] = []
+    rel = os.path.relpath(path)
+
+    for i, line in enumerate(src.splitlines(), 1):
+        if len(line) > MAX_LINE and "noqa" not in line:
+            findings.append(Finding(rel, i, "E501", f"line too long ({len(line)})"))
+
+    try:
+        tree = ast.parse(src)
+    except SyntaxError as exc:
+        findings.append(Finding(rel, exc.lineno or 0, "E999", f"syntax error: {exc.msg}"))
+        return findings, 0, 0
+
+    # F401 unused imports (module scope only; conftest/__init__ re-export freely)
+    base = os.path.basename(path)
+    if base not in ("__init__.py", "conftest.py", "compat.py"):
+        tracker = ImportTracker()
+        tracker.visit(tree)
+        # names appearing anywhere in the source text after their import line
+        # count as used (covers docstring references, __all__, strings)
+        for name, lineno in tracker.imports.items():
+            if name.startswith("_"):
+                continue
+            if name not in tracker.used and f'"{name}"' not in src and f"'{name}'" not in src:
+                findings.append(Finding(rel, lineno, "F401", f"unused import {name!r}"))
+
+    documented = total = 0
+    module_public = not base.startswith("_")
+    if module_public and ast.get_docstring(tree) is None:
+        findings.append(Finding(rel, 1, "D100", "missing module docstring"))
+
+    lib = _is_library(path)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ExceptHandler) and node.type is None:
+            findings.append(Finding(rel, node.lineno, "E722", "bare except"))
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            for default in node.args.defaults + node.args.kw_defaults:
+                if isinstance(default, (ast.List, ast.Dict, ast.Set)):
+                    findings.append(
+                        Finding(rel, node.lineno, "B006",
+                                f"mutable default in {node.name}()")
+                    )
+        if (
+            lib
+            and isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Name)
+            and node.func.id == "print"
+        ):
+            findings.append(Finding(rel, node.lineno, "T201", "print() in library code"))
+
+    # docstring coverage: public API only — module-level defs/classes and
+    # direct methods of public classes (closures don't need docs)
+    if lib:
+        def count(node):
+            nonlocal documented, total
+            if node.name.startswith("_"):
+                return
+            total += 1
+            if ast.get_docstring(node) is not None:
+                documented += 1
+
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                count(node)
+            elif isinstance(node, ast.ClassDef):
+                count(node)
+                for sub in node.body:
+                    if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                        count(sub)
+
+    return findings, documented, total
+
+
+def iter_py(paths: list[str]):
+    for p in paths:
+        if os.path.isfile(p):
+            yield p
+            continue
+        for root, dirs, files in os.walk(p):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in files:
+                if f.endswith(".py"):
+                    yield os.path.join(root, f)
+
+
+def main(argv: list[str]) -> int:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = argv or [
+        os.path.join(repo, "bikg_graph_explainability_public_tpu"),
+        os.path.join(repo, "tests"),
+        os.path.join(repo, "bench.py"),
+        os.path.join(repo, "__graft_entry__.py"),
+    ]
+    all_findings: list[Finding] = []
+    doc_n = doc_d = 0
+    for path in iter_py(paths):
+        with open(path) as f:
+            src = f.read()
+        findings, d, n = check_file(path, src)
+        all_findings.extend(findings)
+        doc_d += d
+        doc_n += n
+
+    for f in sorted(all_findings, key=lambda x: (x.path, x.line)):
+        print(f)
+    coverage = doc_d / doc_n if doc_n else 1.0
+    print(f"-- docstring coverage: {doc_d}/{doc_n} = {coverage:.1%} "
+          f"(minimum {MIN_DOC_COVERAGE:.0%})")
+    if coverage < MIN_DOC_COVERAGE:
+        print("FAIL: docstring coverage below minimum")
+        return 1
+    if all_findings:
+        print(f"FAIL: {len(all_findings)} finding(s)")
+        return 1
+    print("lint ok")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

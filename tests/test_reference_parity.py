@@ -10,15 +10,12 @@ trained reference *checkpoints* lives in tests/test_models.py.)
 
 import importlib.util
 import os
-import sys
 
-import jax
 import numpy as np
 import pandas as pd
 import pytest
 import torch
 
-import bikg_graph_explainability_public_tpu as px
 from bikg_graph_explainability_public_tpu.explain.kernels import shap_kernel
 from bikg_graph_explainability_public_tpu.explain.pathways import Pathways
 

@@ -10,7 +10,6 @@ from bikg_graph_explainability_public_tpu.graph import from_arrays
 from bikg_graph_explainability_public_tpu.ops.ell import build_neighbor_table
 from bikg_graph_explainability_public_tpu.ops.spmm_pallas import (
     batched_gather_sum,
-    spmm_ell_pallas,
 )
 from fixtures import make_graph
 
