@@ -7,11 +7,29 @@ configs.json``) on a 2-hop computational subgraph (2048 nodes / 16384 edges,
 hidden 128 x 2 layers), query-node output per perturbation.  Uses the fused
 ELL fast path (:mod:`bikg_graph_explainability_public_tpu.models.fast_gcn`).
 
-Secondary (extra JSON keys): full-graph *graph-problem* masked forwards at
-BASELINE.json config-3 scale (100k nodes / 1M edges, B=64) — pooled outputs
-force every edge to be aggregated per perturbation, so edges/s/chip is
-honest (node queries are served by receptive-field plans that skip work
-outside the query ball and would inflate the metric).
+The JSON line carries the complete honest surface:
+
+* ``value`` — plan-restricted forwards/s (receptive-field query plans, the
+  production path for node queries).  This conflates an algorithmic win
+  (restricting work to the query's hop ball) with kernel speed, so:
+* ``unrestricted_forwards_per_sec`` — the same workload with query plans
+  disabled (every forward touches the whole padded subgraph); the honest
+  kernel-speed comparison against the reference's mega-graph.
+* ``fullgraph_*`` — graph-problem masked forwards at BASELINE.json config-3
+  scale (100k nodes / 1M edges, B=64): pooled outputs force every edge to be
+  aggregated per perturbation, so edges/s/chip cannot be inflated by
+  receptive-field restriction.
+* ``spmm_gbps`` / ``spmm_sol_fraction`` — achieved bytes/s of the batched
+  sparse aggregation (the torch-scatter role) at the 100k/1M workload vs the
+  chip's HBM roofline (SpMM is bandwidth-bound: ~1 row read per edge, 1 row
+  write per node; BASELINE.md "per-chip SpMM efficiency >= 90% SoL").
+* ``explanations_per_sec`` / ``community_explanations_per_sec`` /
+  ``hetero_explanations_per_sec`` — end-to-end multi-query explanation
+  throughput (Shapley, Configuration-Value, and hetero-model modes).
+* ``scaling_efficiency_8dev`` — weak-scaling efficiency of query-sharded
+  ``explain_many`` on a virtual 8-device CPU mesh (1 vs 8 devices,
+  per-device throughput ratio; real multi-chip needs hardware this
+  environment does not have — BASELINE.md "needs real multi-chip").
 
 vs_baseline: the same primary workload executed the reference's way — a
 torch-CPU block-diagonal "mega-graph" GCN forward
@@ -27,6 +45,8 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -37,6 +57,29 @@ SUB_N, SUB_E, B_SUB = 2048, 16384, 1000
 BIG_N, BIG_E, B_BIG, BIG_CHUNK = 100_000, 1_000_000, 64, 8
 N_FEATS, HIDDEN = 84, 128
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
+
+#: HBM bandwidth roofline by device kind (GB/s).  Sources: public TPU
+#: datasheets (v4: 1228, v5e: 819, v5p: 2765, v6e/Trillium: 1640).
+HBM_GBPS = {
+    "v5 lite": 819.0,
+    "v5e": 819.0,
+    "v5p": 2765.0,
+    "v4": 1228.0,
+    "v6": 1640.0,
+    "trillium": 1640.0,
+}
+
+
+def hbm_roofline_gbps() -> float | None:
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    kind = jax.devices()[0].device_kind.lower()
+    for key, bw in HBM_GBPS.items():
+        if key in kind:
+            return bw
+    return None
 
 
 def make_graph(n, e, seed=0):
@@ -124,8 +167,6 @@ def _marginal_time(make_step, masks, n1=3, n2=13):  # noqa: C901
     import jax
     import jax.numpy as jnp
 
-    b = None
-
     def scan_n(n):
         @jax.jit
         def run(masks):
@@ -163,7 +204,9 @@ def _marginal_time(make_step, masks, n1=3, n2=13):  # noqa: C901
     return max(delta / span, 1e-9)
 
 
-def bench_masked_forwards(feat, ei, b_total, chunk, seed=3, problem="node_prediction"):
+def bench_masked_forwards(
+    feat, ei, b_total, chunk, seed=3, problem="node_prediction", restrict=True
+):
     import jax
     import jax.numpy as jnp
 
@@ -175,7 +218,7 @@ def bench_masked_forwards(feat, ei, b_total, chunk, seed=3, problem="node_predic
         N_FEATS, conv_channels=(HIDDEN, HIDDEN), fc_channels=(HIDDEN, 64)
     )
     params = mdef.init(jax.random.PRNGKey(0))
-    engine = FastBatchedGCN(mdef, params, g)
+    engine = FastBatchedGCN(mdef, params, g, restrict=restrict)
     rng = np.random.default_rng(seed)
     masks = jnp.asarray((rng.random((b_total, g.n_pad)) > 0.3))
     query = None if "graph" in problem else 17
@@ -186,10 +229,68 @@ def bench_masked_forwards(feat, ei, b_total, chunk, seed=3, problem="node_predic
     return b_total / dt
 
 
-def bench_explanations_per_sec(n=20_000, e=160_000, q=16, seed=5):
-    """End-to-end explanations/sec: Q full node explanations (subgraph
-    extraction + 1000 masked forwards + surrogate training each) via the
-    vmapped multi-query path."""
+def bench_spmm_sol(n=BIG_N, e=BIG_E, b=8, f=128, seed=0):
+    """Achieved bytes/s of the batched sparse aggregation vs HBM roofline.
+
+    Minimum-traffic model for out[v] = sum_e w[e,:] * feats[snd_e]:
+    every edge reads one (b*f) f32 feature row, every node writes one, and
+    the per-edge weights are read once — (e + n) * b*f*4 + e*b*4 bytes.
+    Gather locality can only *reduce* real traffic below this bound via
+    cache reuse, so sol_fraction is conservative.
+    """
+    import jax.numpy as jnp
+
+    import bikg_graph_explainability_public_tpu as px
+    from bikg_graph_explainability_public_tpu.graph import host_view
+    from bikg_graph_explainability_public_tpu.ops.ell import build_neighbor_table
+    from bikg_graph_explainability_public_tpu.ops import spmm
+
+    rng = np.random.default_rng(seed)
+    feat = rng.standard_normal((n, 8), dtype=np.float32)
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)]).astype(np.int64)
+    g = px.from_arrays(feat, ei, pad_mode="exact")
+    table = build_neighbor_table(g)
+
+    hv = host_view(g)
+    from bikg_graph_explainability_public_tpu.runtime import native
+
+    _rp, col_s, eid = native.build_csr(
+        g.n_pad, hv.senders[: g.num_edges], hv.receivers[: g.num_edges]
+    )
+    snd_s = jnp.asarray(col_s)
+    rcv_s = jnp.asarray(hv.receivers[: g.num_edges][eid])
+
+    feats = jnp.asarray(rng.standard_normal((g.n_pad, b * f), dtype=np.float32))
+    w_eb = jnp.asarray(rng.random((g.e_pad, b), dtype=np.float32))
+    w_sorted = w_eb[jnp.asarray(eid)]
+
+    use_pallas = spmm._use_pallas(None, table, b * f)
+    w_in = w_eb if use_pallas else w_sorted
+    kw = dict(table=table) if use_pallas else dict(backend="xla")
+
+    # data-dep plumbing for _marginal_time: the [b*f] bool mask modulates the
+    # per-edge weights (m[:b] broadcast over edges) so consecutive scan steps
+    # cannot be hoisted; the step returns one [b*f] output row.
+    def step(m):
+        w = w_in * m[: b].astype(jnp.float32)[None, :]
+        return spmm.weighted_gather_sum_batched(
+            w, feats, snd_s, rcv_s, g.n_pad, b, **kw
+        )[17]
+
+    dt = _marginal_time(step, jnp.ones((b * f,), bool))
+
+    bytes_moved = (e + n) * b * f * 4 + e * b * 4
+    gbps = bytes_moved / dt / 1e9
+    roof = hbm_roofline_gbps()
+    return {
+        "spmm_backend": "pallas" if use_pallas else "xla",
+        "spmm_gbps": round(gbps, 1),
+        "spmm_sol_fraction": round(gbps / roof, 3) if roof else None,
+        "hbm_roofline_gbps": roof,
+    }
+
+
+def _explain_graph(n, e, seed):
     import jax
 
     import bikg_graph_explainability_public_tpu as px
@@ -200,15 +301,170 @@ def bench_explanations_per_sec(n=20_000, e=160_000, q=16, seed=5):
     g = px.from_arrays(feat, ei, pad_mode="exact")
     mdef = px.GCNNodeModel(N_FEATS, conv_channels=(HIDDEN,), fc_channels=(HIDDEN, 64))
     params = mdef.init(jax.random.PRNGKey(0))
-    model = px.Model(mdef, params)
-    cfg = {"seed": 1, "interpret_samples": 20, "epochs": 50, "lr": 0.01,
-           "l1_lambda": 1e-4}
+    return g, px.Model(mdef, params), rng
+
+
+CFG_FULL = {"seed": 1, "interpret_samples": 20, "epochs": 50, "lr": 0.01,
+            "l1_lambda": 1e-4}
+
+
+def bench_explanations_per_sec(n=20_000, e=160_000, q=16, seed=5):
+    """End-to-end Shapley-mode explanations/sec: Q full node explanations
+    (subgraph extraction + 1000 masked forwards + surrogate training each)
+    via the vmapped multi-query path."""
+    import bikg_graph_explainability_public_tpu as px
+
+    g, model, rng = _explain_graph(n, e, seed)
     queries = list(rng.integers(0, n, q))
-    px.explain_many(model, g, queries, cfg)  # warm up / compile
+    px.explain_many(model, g, queries, CFG_FULL)  # warm up / compile
     t0 = time.perf_counter()
-    px.explain_many(model, g, queries, cfg)
-    dt = time.perf_counter() - t0
-    return q / dt
+    px.explain_many(model, g, queries, CFG_FULL)
+    return q / (time.perf_counter() - t0)
+
+
+def bench_community_explanations_per_sec(n=20_000, e=160_000, q=16, k=32, seed=7):
+    """Configuration-Value mode: same workload with k communities."""
+    import bikg_graph_explainability_public_tpu as px
+
+    g, model, rng = _explain_graph(n, e, seed)
+    names = [str(i) for i in range(n)]
+    perm = rng.permutation(n)
+    pathways = [[names[j] for j in perm[i::k]] for i in range(k)]
+    pw_names = [f"pw{i}" for i in range(k)]
+    queries = list(rng.integers(0, n, q))
+    kw = dict(names=names, pathways=pathways, pathway_names=pw_names)
+    px.explain_many(model, g, queries, CFG_FULL, **kw)  # warm up
+    t0 = time.perf_counter()
+    px.explain_many(model, g, queries, CFG_FULL, **kw)
+    return q / (time.perf_counter() - t0)
+
+
+def bench_hetero_explanations_per_sec(n_per_type=4000, e_per_rel=24_000, q=8,
+                                      seed=9):
+    """Hetero-model explanations/sec (2 node types, 3 relations — the
+    reference's hetero checkpoint shape at production scale)."""
+    import jax
+
+    import bikg_graph_explainability_public_tpu as px
+    from bikg_graph_explainability_public_tpu.graph import hetero_to_homo
+
+    rng = np.random.default_rng(seed)
+    f = 32
+    feat = {
+        "a": rng.normal(size=(n_per_type, f)).astype(np.float32),
+        "b": rng.normal(size=(n_per_type, f)).astype(np.float32),
+    }
+    relations = [("a", "r1", "b"), ("b", "r2", "a"), ("a", "r3", "a")]
+    ei = {
+        r: np.stack([
+            rng.integers(0, n_per_type, e_per_rel),
+            rng.integers(0, n_per_type, e_per_rel),
+        ]) for r in relations
+    }
+    g, _info = hetero_to_homo(feat, ei)
+    mdef = px.hetero_gcn_for_relations(
+        ["a", "b"], relations, in_features=f,
+        conv_channels=(HIDDEN,), fc_channels=(HIDDEN, 64),
+    )
+    params = mdef.init(jax.random.PRNGKey(seed))
+    model = px.Model(mdef, params)
+    queries = list(rng.integers(0, n_per_type, q))
+    px.explain_many(model, g, queries, CFG_FULL)  # warm up
+    t0 = time.perf_counter()
+    px.explain_many(model, g, queries, CFG_FULL)
+    return q / (time.perf_counter() - t0)
+
+
+# ---------------------------------------------------------------------------
+# weak scaling on a virtual CPU mesh (subprocess: needs its own JAX platform)
+# ---------------------------------------------------------------------------
+
+
+def _scaling_child():
+    """Run inside JAX_PLATFORMS=cpu with 8 virtual devices: weak-scaling
+    explain_many (queries proportional to devices), print one JSON line."""
+    # XLA_FLAGS from the spawning env is not honoured under the container's
+    # sitecustomize; it must be (re)set in-process BEFORE the first backend
+    # init, followed by a config update (same dance as tests/conftest.py)
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    assert len(jax.devices()) >= 8, "could not force 8 virtual devices"
+
+    import bikg_graph_explainability_public_tpu as px
+    from bikg_graph_explainability_public_tpu.parallel.mesh import make_mesh
+
+    n, e, q_per_dev = 2000, 12000, 16
+    rng = np.random.default_rng(11)
+    feat = rng.normal(size=(n, 16)).astype(np.float32)
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)]).astype(np.int64)
+    g = px.from_arrays(feat, ei, pad_mode="exact")
+    mdef = px.GCNNodeModel(16, conv_channels=(32,), fc_channels=(32, 16))
+    params = mdef.init(jax.random.PRNGKey(0))
+    model = px.Model(mdef, params)
+    cfg = {"seed": 1, "interpret_samples": 10, "epochs": 10, "lr": 0.01,
+           "l1_lambda": 1e-4}
+
+    def eps(mesh, queries, reps=3):
+        px.explain_many(model, g, queries, cfg, mesh=mesh)  # compile
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            px.explain_many(model, g, queries, cfg, mesh=mesh)
+            best = min(best, time.perf_counter() - t0)
+        return len(queries) / best
+
+    out = {}
+    for nd in (1, 2, 4, 8):
+        queries = list(rng.integers(0, n, q_per_dev * nd))
+        out[str(nd)] = eps(make_mesh(nd), queries)
+    # fixed total work, growing mesh: partitioning overhead isolated from
+    # host-core limits (the CI host has ~2 cores; 8 virtual devices cannot
+    # physically speed anything up, but sharding must not slow it down)
+    fixed_q = list(rng.integers(0, n, 8 * q_per_dev))
+    t1 = eps(make_mesh(1), fixed_q)
+    t8 = eps(make_mesh(8), fixed_q)
+    out["sharding_overhead"] = t1 / t8  # >1 means the 8-way mesh was slower
+    print(json.dumps(out))
+
+
+def bench_weak_scaling():
+    """Weak-scaling efficiency 1 -> 8 virtual CPU devices (per-device
+    throughput ratio; 1.0 = perfect).  Returns None if the child fails."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-child"],
+            env=env, capture_output=True, text=True, timeout=1200,
+        )
+        data = json.loads(proc.stdout.strip().splitlines()[-1])
+        overhead = data.pop("sharding_overhead", None)
+        eff = (data["8"] / 8.0) / data["1"]
+        return {
+            "scaling_eps_per_ndev": {k: round(v, 3) for k, v in data.items()},
+            "scaling_efficiency_8dev": round(eff, 3),
+            # fixed work, 1-dev vs 8-dev mesh: >1 means sharding cost; the
+            # CI host has ~2 cores so weak scaling is core-bound there and
+            # this overhead ratio is the meaningful partitioning check
+            "sharding_overhead_8dev": round(overhead, 3) if overhead else None,
+            "scaling_note": (
+                "virtual 8-device CPU mesh on a ~2-core host: weak scaling "
+                "is host-core-bound; sharding_overhead_8dev (fixed work, "
+                "1 vs 8 shards) is the partitioning check — real scaling "
+                "efficiency needs multi-chip hardware"
+            ),
+        }
+    except Exception as exc:  # noqa: BLE001 — bench must still print its line
+        return {"scaling_efficiency_8dev": None,
+                "scaling_error": f"{type(exc).__name__}: {exc}"[:200]}
 
 
 def main():
@@ -217,6 +473,9 @@ def main():
     import jax
 
     sub_fps = bench_masked_forwards(*make_graph(SUB_N, SUB_E, seed=2), B_SUB, 250)
+    sub_fps_unrestricted = bench_masked_forwards(
+        *make_graph(SUB_N, SUB_E, seed=2), B_SUB, 250, restrict=False
+    )
     # graph-problem (pooled) forwards genuinely aggregate over every edge per
     # perturbation — the honest edges/s workload (node queries are served by
     # receptive-field plans that skip work outside the query ball)
@@ -224,27 +483,39 @@ def main():
         *make_graph(BIG_N, BIG_E, seed=0), B_BIG, BIG_CHUNK,
         problem="graph_prediction",
     )
+    spmm = bench_spmm_sol()
     eps = bench_explanations_per_sec()
+    eps_comm = bench_community_explanations_per_sec()
+    eps_het = bench_hetero_explanations_per_sec()
+    scaling = bench_weak_scaling()
 
-    print(
-        json.dumps(
-            {
-                "metric": "perturb_forwards_per_sec",
-                "value": round(sub_fps, 2),
-                "unit": "forwards/s",
-                "vs_baseline": round(sub_fps / baselines["sub_fps"], 2),
-                "workload": f"GCN-{HIDDEN}x2 subgraph {SUB_N}n/{SUB_E}e B={B_SUB}",
-                "fullgraph_workload": f"graph-problem {BIG_N}n/{BIG_E}e B={B_BIG}",
-                "fullgraph_forwards_per_sec": round(big_fps, 2),
-                "fullgraph_vs_baseline": round(big_fps / baselines["big_fps"], 2),
-                "fullgraph_edges_per_sec_per_chip": round(big_fps * BIG_E, 0),
-                "explanations_per_sec": round(eps, 3),
-                "baseline": "torch-cpu mega-graph (reference style)",
-                "backend": jax.default_backend(),
-            }
-        )
-    )
+    record = {
+        "metric": "perturb_forwards_per_sec",
+        "value": round(sub_fps, 2),
+        "unit": "forwards/s",
+        "vs_baseline": round(sub_fps / baselines["sub_fps"], 2),
+        "workload": f"GCN-{HIDDEN}x2 subgraph {SUB_N}n/{SUB_E}e B={B_SUB}",
+        "unrestricted_forwards_per_sec": round(sub_fps_unrestricted, 2),
+        "unrestricted_vs_baseline": round(
+            sub_fps_unrestricted / baselines["sub_fps"], 2
+        ),
+        "fullgraph_workload": f"graph-problem {BIG_N}n/{BIG_E}e B={B_BIG}",
+        "fullgraph_forwards_per_sec": round(big_fps, 2),
+        "fullgraph_vs_baseline": round(big_fps / baselines["big_fps"], 2),
+        "fullgraph_edges_per_sec_per_chip": round(big_fps * BIG_E, 0),
+        "explanations_per_sec": round(eps, 3),
+        "community_explanations_per_sec": round(eps_comm, 3),
+        "hetero_explanations_per_sec": round(eps_het, 3),
+        "baseline": "torch-cpu mega-graph (reference style)",
+        "backend": jax.default_backend(),
+    }
+    record.update(spmm)
+    record.update(scaling)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
-    main()
+    if "--scaling-child" in sys.argv:
+        _scaling_child()
+    else:
+        main()

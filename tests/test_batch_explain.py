@@ -253,3 +253,69 @@ class TestExplainManyV2Problems:
         # with itself across seeds (random-init attributions are noisy)
         noise_floor = _corr(single, single_b)
         assert _corr(dfs[0], single) > noise_floor - 0.2
+
+
+class TestSizeBuckets:
+    """Size-bucketed explain_many (one vmapped program per pow2 bucket)."""
+
+    def _setup(self, n=400, e=2400, seed=77):
+        import jax
+
+        rng = np.random.default_rng(seed)
+        feat = rng.normal(size=(n, 8)).astype(np.float32)
+        ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+        g = px.from_arrays(feat, ei, pad_mode="exact")
+        mdef = px.GCNNodeModel(8, conv_channels=(8,), fc_channels=(8, 4))
+        model = px.Model(mdef, mdef.init(jax.random.PRNGKey(seed)))
+        cfg = {"seed": 2, "interpret_samples": 8, "epochs": 4, "lr": 0.01,
+               "l1_lambda": 1e-4}
+        return g, model, cfg, rng
+
+    def test_deterministic_and_same_elements(self):
+        g, model, cfg, rng = self._setup()
+        queries = list(rng.integers(0, 400, 24))
+        a = px.explain_many(model, g, queries, cfg)
+        b = px.explain_many(model, g, queries, cfg)
+        u = px.explain_many(model, g, queries, cfg, size_buckets=False)
+        for x, y, z in zip(a, b, u):
+            assert list(x.index) == list(y.index)
+            np.testing.assert_array_equal(
+                x["config_value_mean"].to_numpy(),
+                y["config_value_mean"].to_numpy(),
+            )
+            # same computational subgraph regardless of bucketing
+            assert set(x.index) == set(z.index)
+
+    def test_single_bucket_bitwise_matches_unbucketed(self):
+        """Queries of one size class take the identical code path."""
+        g, model, cfg, rng = self._setup()
+        queries = list(rng.integers(0, 400, 12))
+        from bikg_graph_explainability_public_tpu.explain.batch import (
+            _explain_many_stacked,
+        )
+
+        a = px.explain_many(model, g, queries, cfg, size_buckets=False)
+        b = _explain_many_stacked(model, g, queries, cfg)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(
+                x["config_value_mean"].to_numpy(),
+                y["config_value_mean"].to_numpy(),
+            )
+
+    def test_buckets_with_mesh_invariant(self):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from bikg_graph_explainability_public_tpu.parallel.mesh import make_mesh
+
+        g, model, cfg, rng = self._setup(seed=78)
+        queries = list(rng.integers(0, 400, 10))
+        m1 = px.explain_many(model, g, queries, cfg, mesh=make_mesh(1))
+        m8 = px.explain_many(model, g, queries, cfg, mesh=make_mesh(8))
+        for x, y in zip(m1, m8):
+            np.testing.assert_allclose(
+                x["config_value_mean"].to_numpy(),
+                y["config_value_mean"].to_numpy(),
+                rtol=1e-5, atol=1e-6,
+            )
