@@ -268,16 +268,42 @@ def bench_spmm_sol(n=BIG_N, e=BIG_E, b=8, f=128, seed=0):
     w_in = w_eb if use_pallas else w_sorted
     kw = dict(table=table) if use_pallas else dict(backend="xla")
 
-    # data-dep plumbing for _marginal_time: the [b*f] bool mask modulates the
-    # per-edge weights (m[:b] broadcast over edges) so consecutive scan steps
-    # cannot be hoisted; the step returns one [b*f] output row.
-    def step(m):
-        w = w_in * m[: b].astype(jnp.float32)[None, :]
+    def op(w, feats):
         return spmm.weighted_gather_sum_batched(
             w, feats, snd_s, rcv_s, g.n_pad, b, **kw
-        )[17]
+        )
 
-    dt = _marginal_time(step, jnp.ones((b * f,), bool))
+    # big operands must be jit ARGUMENTS (closure constants ship with the
+    # HLO and overflow the remote compiler); slope-time a scan with a
+    # sequential data dependence through the weights
+    import jax
+
+    def scan_n(n):
+        @jax.jit
+        def run(w, feats):
+            def body(carry, _):
+                dep = (carry[0, 0] > 1e30).astype(jnp.float32)
+                out = op(w + dep, feats)
+                return out[:1] * 1e-30 + carry, ()
+
+            c0 = jnp.zeros((1, feats.shape[-1]), jnp.float32)
+            out, _ = jax.lax.scan(body, c0, None, length=n)
+            return out
+
+        return run
+
+    def best_of(n, reps=3):
+        fjit = scan_n(n)
+        np.asarray(fjit(w_in, feats))
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            np.asarray(fjit(w_in, feats))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t2 = best_of(2), best_of(8)
+    dt = max((t2 - t1) / 6, 1e-9)
 
     bytes_moved = (e + n) * b * f * 4 + e * b * 4
     gbps = bytes_moved / dt / 1e9
