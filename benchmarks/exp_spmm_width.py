@@ -100,12 +100,16 @@ def main(n=100_000, e=1_000_000, f=128):
                 indices_are_sorted=True,
             )
 
-        try:
-            t_p = marginal_time(pl_op, w_eb, feats) if plan else float("inf")
-        except Exception as exc:
-            print(f"B={b:3d} pallas failed: {type(exc).__name__}: {exc}")
-            t_p = float("inf")
-        t_x = marginal_time(xla_op, w_sorted, feats)
+        def timed(op, w):
+            try:
+                return marginal_time(op, w, feats)
+            except Exception as exc:  # OOM at large W, etc.
+                print(f"B={b:3d} {op.__name__} failed: "
+                      f"{type(exc).__name__}", flush=True)
+                return float("inf")
+
+        t_p = timed(pl_op, w_eb) if plan else float("inf")
+        t_x = timed(xla_op, w_sorted)
         print(
             f"B={b:3d} W={w*4/1024:6.1f}KB tr={tr:3d} | "
             f"pallas {t_p*1e3:8.2f} ms ({bytes_min/t_p:5.0f} GB/s) | "

@@ -381,23 +381,28 @@ class FastBatchedGCN:
             snd_s, rcv_s = self.snd_sorted, self.rcv_sorted
             dis = jnp.sqrt(self_w)  # [B, N] — deg^-1/2
             mf = masks.astype(jnp.float32)
-            if is_edge:
-                w_be = mf[:, self.eid_sorted]
-            else:
-                w_be = mf[:, snd_s] * mf[:, rcv_s]
-            w_be = w_be * (snd_s != rcv_s)[None, :]
-            norm_eb = (w_be * dis[:, snd_s] * dis[:, rcv_s]).T  # [E, B]
             n = h.shape[1]
             b = masks.shape[0]
+            if is_edge:
+                # per-edge masks are NOT separable — weighted path
+                w_be = mf[:, self.eid_sorted]
+                w_be = w_be * (snd_s != rcv_s)[None, :]
+                norm_eb = (w_be * dis[:, snd_s] * dis[:, rcv_s]).T  # [E, B]
+            else:
+                # node masks ARE: w[e] = a[snd]*a[rcv], a = mask * deg^-1/2
+                a_bn = mf * dis  # [B, N]
 
             def agg(hw):
                 # batch-contiguous SpMM: activations transposed to [N, B*F]
                 # so every edge touches one contiguous row.  Routed through
                 # the spmm backend registry: on TPU with wide rows this is
-                # the blocked-ELL Pallas DMA-gather kernel (measured ~2.3x
-                # over the XLA gather+segment-sum it replaces); elsewhere the
-                # XLA path (itself ~2.2x over per-sample vmapped scatter).
-                from ..ops.spmm import weighted_gather_sum_batched
+                # the blocked-ELL Pallas DMA-gather kernel; elsewhere the
+                # XLA path.  Node problems use the rank-1 separable form
+                # (static slot weights — no per-call weight re-index).
+                from ..ops.spmm import (
+                    gather_sum_batched_separable,
+                    weighted_gather_sum_batched,
+                )
 
                 f_dim = hw.shape[-1]
                 hw_t = (
@@ -405,16 +410,28 @@ class FastBatchedGCN:
                     .astype(self.dtype)
                     .reshape(n, b * f_dim)
                 )
-                out_t = weighted_gather_sum_batched(
-                    norm_eb.astype(self.dtype),
-                    hw_t,
-                    snd_s,
-                    rcv_s,
-                    n,
-                    b,
-                    table=self.table_sorted,
-                    backend=self.spmm_backend,
-                )
+                if is_edge:
+                    out_t = weighted_gather_sum_batched(
+                        norm_eb.astype(self.dtype),
+                        hw_t,
+                        snd_s,
+                        rcv_s,
+                        n,
+                        b,
+                        table=self.table_sorted,
+                        backend=self.spmm_backend,
+                    )
+                else:
+                    out_t = gather_sum_batched_separable(
+                        a_bn,
+                        hw_t,
+                        snd_s,
+                        rcv_s,
+                        n,
+                        b,
+                        table=self.table_sorted,
+                        backend=self.spmm_backend,
+                    )
                 return jnp.transpose(out_t.reshape(n, b, f_dim), (1, 0, 2))
 
         for conv, p in zip(self.model_def.convs[1:], self.params["conv"][1:]):

@@ -29,7 +29,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .spmm_pallas import MIN_PALLAS_WIDTH, batched_gather_sum
+from .spmm_pallas import MIN_PALLAS_WIDTH, batched_gather_sum, gather_sum_static
 
 _BACKENDS = ("xla", "pallas", "auto")
 _BACKEND = "auto"
@@ -117,3 +117,45 @@ def weighted_gather_sum_batched(
         receivers, num_segments=num_nodes,
         indices_are_sorted=indices_are_sorted,
     )
+
+
+def gather_sum_batched_separable(
+    a_bn: jax.Array,            # [B, N] per-node per-sample factors
+    feats_bc: jax.Array,        # [N, B*F] batch-contiguous features
+    senders: jax.Array,         # [E] (receiver-sorted for the XLA path)
+    receivers: jax.Array,       # [E]
+    num_nodes: int,
+    b: int,
+    *,
+    table=None,
+    backend: Optional[str] = None,
+    indices_are_sorted: bool = True,
+) -> jax.Array:                 # [N, B*F]
+    """Batched aggregation with rank-1 separable weights.
+
+    ``out[v, s] = a[s,v] * sum over non-self-loop in-edges (snd -> v) of
+    a[s,snd] * feats[snd, s]`` — the GCN node-mask case, where the per-edge
+    weight ``mask[snd]*mask[rcv]*deg^-1/2[snd]*deg^-1/2[rcv]`` factors as
+    ``a[snd]*a[rcv]`` with ``a = mask * deg^-1/2``.
+
+    Scaling rows before and outputs after lets the aggregation itself run
+    with STATIC weights: the Pallas path skips the per-call
+    ``edge_weight[table.eid]`` slot re-index (a 3.2M-tiny-row gather, ~20 ms
+    at the 100k/1M workload — ~35% of the weighted path) and the XLA path
+    skips materialising the [E, B] weight matrix.
+    """
+    f = feats_bc.shape[-1] // b
+    a_t = jnp.transpose(a_bn).astype(feats_bc.dtype)  # [N, B]
+    scaled = (
+        feats_bc.reshape(-1, b, f) * a_t[:, :, None]
+    ).reshape(-1, b * f)
+    if _use_pallas(backend, table, feats_bc.shape[-1]):
+        out = gather_sum_static(table, scaled, b=b)
+    else:
+        loop = (senders != receivers).astype(scaled.dtype)
+        msg = scaled[senders] * loop[:, None]
+        out = jax.ops.segment_sum(
+            msg.astype(jnp.float32), receivers, num_segments=num_nodes,
+            indices_are_sorted=indices_are_sorted,
+        )
+    return (out.reshape(-1, b, f) * a_t[:, :, None]).reshape(-1, b * f)

@@ -112,7 +112,7 @@ def build_compact_plan(
 
 def _kernel(cnt_ref, src_hbm, dst_hbm, w_ref, x_hbm, out_ref,
             src_smem, dst_smem, gbuf, idx_sems, sems,
-            *, tr, k, b, f, g):
+            *, tr, k, b, f, g, wb):
     ib = pl.program_id(0)
     rows = tr * k
     src_dma = pltpu.make_async_copy(
@@ -176,9 +176,10 @@ def _kernel(cnt_ref, src_hbm, dst_hbm, w_ref, x_hbm, out_ref,
 
     # one vectorized weighted reduce over the K axis.  Never-DMA'd slots
     # hold stale (possibly non-finite) bits; the select — not a multiply —
-    # guarantees they contribute exact zeros.
+    # guarantees they contribute exact zeros.  ``wb == 1`` is the static-
+    # weight (separable) mode: one weight per slot broadcast over samples.
     g4 = gbuf[:].reshape(tr, k, b, f)
-    wk = w_ref[:].reshape(tr, k, b)[:, :, :, None]
+    wk = w_ref[:].reshape(tr, k, wb)[:, :, :, None]
     msg = jnp.where(wk != 0.0, wk * g4, 0.0)
     out_ref[:] = msg.sum(axis=1).reshape(tr, b * f)
 
@@ -201,13 +202,14 @@ def spmm_ell_pallas(
     n = w_slot.shape[0]
     w_width = feats.shape[1]
     f = w_width // b
+    wb = w_slot.shape[2]  # b, or 1 in static/separable mode
     n_pad = -(-n // tr) * tr
     if n_pad != n:
         w_slot = jnp.pad(w_slot, ((0, n_pad - n), (0, 0), (0, 0)))
     g = _G
     while (tr * k) % g:
         g //= 2
-    kern = functools.partial(_kernel, tr=tr, k=k, b=b, f=f, g=g)
+    kern = functools.partial(_kernel, tr=tr, k=k, b=b, f=f, g=g, wb=wb)
     x3 = feats.reshape(feats.shape[0], w_width // 128, 128)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -215,7 +217,7 @@ def spmm_ell_pallas(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # src (flat, HBM)
             pl.BlockSpec(memory_space=pl.ANY),  # dst (flat, HBM)
-            pl.BlockSpec((tr * k, b), lambda i, c: (i, 0),
+            pl.BlockSpec((tr * k, wb), lambda i, c: (i, 0),
                          memory_space=pltpu.VMEM),  # w_slot
             pl.BlockSpec(memory_space=pl.ANY),  # feats (HBM)
         ],
@@ -237,7 +239,7 @@ def spmm_ell_pallas(
             vmem_limit_bytes=int(_GBUF_BYTES * 1.8) + 8 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(plan_cnt, plan_src, plan_dst, w_slot.reshape(n_pad * k, b), x3)
+    )(plan_cnt, plan_src, plan_dst, w_slot.reshape(n_pad * k, wb), x3)
     return out[:n]
 
 
@@ -281,5 +283,43 @@ def batched_gather_sum(
     w_slot = edge_weight[table.eid] * table.valid[:, :, None]
     return spmm_ell_pallas(
         plan.src, plan.dst, plan.cnt, w_slot, feats,
+        k=table.k, tr=plan.tr, b=b, interpret=interpret,
+    )
+
+
+_STATIC_WSLOT_CACHE: dict = {}
+
+
+def gather_sum_static(
+    table,
+    feats: jax.Array,    # [N, B*F] batch-contiguous features
+    b: int,
+    interpret: Optional[bool] = None,
+    plan: Optional[CompactPlan] = None,
+) -> jax.Array:
+    """out[v] = sum of feats[src] over valid slots — STATIC validity weights.
+
+    The separable fast path: when per-edge weights factor as
+    ``a[src] * a[dst]`` (GCN node masks: ``a = mask * deg^-1/2``), scale the
+    feature rows by ``a`` before and the outputs after, and aggregate with
+    the table's static validity only.  This removes the per-call
+    ``edge_weight[table.eid]`` re-index — a 3.2M-tiny-row gather measured at
+    ~20 ms on the 100k/1M workload, ~35%% of the weighted path's total.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if plan is None:
+        plan = plan_for_table(table, feats.shape[1])
+    if plan is None:
+        raise ValueError(f"K={table.k} too large for the VMEM gather scratch")
+    key = id(table.valid)
+    w1 = _STATIC_WSLOT_CACHE.get(key)
+    if w1 is None:
+        # NUMPY on purpose: built once per table, passed as a jit argument;
+        # a traced slice cached here would leak across traces
+        w1 = np.asarray(table.valid)[:, :, None].astype(np.float32)  # [N,K,1]
+        _STATIC_WSLOT_CACHE[key] = w1
+    return spmm_ell_pallas(
+        plan.src, plan.dst, plan.cnt, w1, feats,
         k=table.k, tr=plan.tr, b=b, interpret=interpret,
     )
