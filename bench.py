@@ -54,7 +54,7 @@ import numpy as np
 # primary: subgraph-scale hot loop
 SUB_N, SUB_E, B_SUB = 2048, 16384, 1000
 # secondary: full-graph stress
-BIG_N, BIG_E, B_BIG, BIG_CHUNK = 100_000, 1_000_000, 64, 8
+BIG_N, BIG_E, B_BIG, BIG_CHUNK = 100_000, 1_000_000, 64, 16
 N_FEATS, HIDDEN = 84, 128
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
 
@@ -229,7 +229,7 @@ def bench_masked_forwards(
     return b_total / dt
 
 
-def bench_spmm_sol(n=BIG_N, e=BIG_E, b=8, f=128, seed=0):
+def bench_spmm_sol(n=BIG_N, e=BIG_E, b=16, f=128, seed=0):
     """Achieved bytes/s of the batched sparse aggregation vs HBM roofline.
 
     Minimum-traffic model for out[v] = sum_e w[e,:] * feats[snd_e]:
@@ -265,10 +265,19 @@ def bench_spmm_sol(n=BIG_N, e=BIG_E, b=8, f=128, seed=0):
     w_sorted = w_eb[jnp.asarray(eid)]
 
     use_pallas = spmm._use_pallas(None, table, b * f)
-    w_in = w_eb if use_pallas else w_sorted
     kw = dict(table=table) if use_pallas else dict(backend="xla")
+    a_bn = jnp.asarray(rng.random((b, g.n_pad), dtype=np.float32))
 
-    def op(w, feats):
+    # the production node-problem aggregation: rank-1 separable weights
+    def op(a, feats):
+        return spmm.gather_sum_batched_separable(
+            a, feats, snd_s, rcv_s, g.n_pad, b, **kw
+        )
+
+    # the general weighted primitive (edge problems)
+    w_in = w_eb if use_pallas else w_sorted
+
+    def op_weighted(w, feats):
         return spmm.weighted_gather_sum_batched(
             w, feats, snd_s, rcv_s, g.n_pad, b, **kw
         )
@@ -278,40 +287,48 @@ def bench_spmm_sol(n=BIG_N, e=BIG_E, b=8, f=128, seed=0):
     # sequential data dependence through the weights
     import jax
 
-    def scan_n(n):
-        @jax.jit
-        def run(w, feats):
-            def body(carry, _):
-                dep = (carry[0, 0] > 1e30).astype(jnp.float32)
-                out = op(w + dep, feats)
-                return out[:1] * 1e-30 + carry, ()
+    import jax
 
-            c0 = jnp.zeros((1, feats.shape[-1]), jnp.float32)
-            out, _ = jax.lax.scan(body, c0, None, length=n)
-            return out
+    def slope(fn, w0):
+        def scan_n(nn):
+            @jax.jit
+            def run(w, feats):
+                def body(carry, _):
+                    dep = (carry[0, 0] > 1e30).astype(jnp.float32)
+                    out = fn(w + dep, feats)
+                    return out[:1] * 1e-30 + carry, ()
 
-        return run
+                c0 = jnp.zeros((1, feats.shape[-1]), jnp.float32)
+                out, _ = jax.lax.scan(body, c0, None, length=nn)
+                return out
 
-    def best_of(n, reps=3):
-        fjit = scan_n(n)
-        np.asarray(fjit(w_in, feats))
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            np.asarray(fjit(w_in, feats))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            return run
 
-    t1, t2 = best_of(2), best_of(8)
-    dt = max((t2 - t1) / 6, 1e-9)
+        def best_of(nn, reps=3):
+            fjit = scan_n(nn)
+            np.asarray(fjit(w0, feats))
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                np.asarray(fjit(w0, feats))
+                best = min(best, time.perf_counter() - t0)
+            return best
 
-    bytes_moved = (e + n) * b * f * 4 + e * b * 4
+        t1, t2 = best_of(2), best_of(8)
+        return max((t2 - t1) / 6, 1e-9)
+
+    dt = slope(op, a_bn)
+    dt_w = slope(op_weighted, w_in)
+
+    bytes_moved = (e + n) * b * f * 4
     gbps = bytes_moved / dt / 1e9
+    gbps_w = (bytes_moved + e * b * 4) / dt_w / 1e9
     roof = hbm_roofline_gbps()
     return {
         "spmm_backend": "pallas" if use_pallas else "xla",
         "spmm_gbps": round(gbps, 1),
         "spmm_sol_fraction": round(gbps / roof, 3) if roof else None,
+        "spmm_weighted_gbps": round(gbps_w, 1),
         "hbm_roofline_gbps": roof,
     }
 

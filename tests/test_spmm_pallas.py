@@ -92,3 +92,70 @@ class TestBlockedEllSpmm:
         feats = jnp.zeros((8, 128), jnp.float32)
         with pytest.raises(ValueError, match="too large"):
             batched_gather_sum(table, w, feats, b=1, interpret=True)
+
+
+class TestSeparable:
+    """Rank-1 separable aggregation (static slot weights)."""
+
+    def _setup(self, n=96, e=640, b=8, f=16, seed=5):
+        import bikg_graph_explainability_public_tpu as px
+        from bikg_graph_explainability_public_tpu.ops.ell import (
+            build_neighbor_table,
+        )
+
+        rng = np.random.default_rng(seed)
+        feat = rng.standard_normal((n, 4), dtype=np.float32)
+        ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+        g = px.from_arrays(feat, ei, pad_mode="exact")
+        table = build_neighbor_table(g)
+        feats = jnp.asarray(
+            rng.standard_normal((g.n_pad, b * f), dtype=np.float32)
+        )
+        a_bn = jnp.asarray(rng.random((b, g.n_pad), dtype=np.float32))
+        return g, table, feats, a_bn, b, f
+
+    def test_matches_dense_oracle(self):
+        from bikg_graph_explainability_public_tpu.graph import host_view
+        from bikg_graph_explainability_public_tpu.ops.spmm import (
+            gather_sum_batched_separable,
+        )
+
+        g, table, feats, a_bn, b, f = self._setup()
+        hv = host_view(g)
+        snd = jnp.asarray(hv.senders[: g.num_edges])
+        rcv = jnp.asarray(hv.receivers[: g.num_edges])
+
+        got = np.asarray(
+            gather_sum_batched_separable(
+                a_bn, feats, snd, rcv, g.n_pad, b, table=table,
+                backend="pallas", indices_are_sorted=False,
+            )
+        )
+        a = np.asarray(a_bn)
+        x = np.asarray(feats).reshape(g.n_pad, b, f)
+        want = np.zeros_like(x)
+        for s, r in zip(np.asarray(snd), np.asarray(rcv)):
+            if s == r:
+                continue
+            want[r] += (a[:, s] * a[:, r])[:, None] * x[s]
+        np.testing.assert_allclose(
+            got.reshape(g.n_pad, b, f), want, rtol=2e-5, atol=2e-5
+        )
+
+    def test_xla_and_pallas_paths_agree(self):
+        from bikg_graph_explainability_public_tpu.graph import host_view
+        from bikg_graph_explainability_public_tpu.ops.spmm import (
+            gather_sum_batched_separable,
+        )
+
+        g, table, feats, a_bn, b, f = self._setup(seed=6)
+        hv = host_view(g)
+        snd = jnp.asarray(hv.senders[: g.num_edges])
+        rcv = jnp.asarray(hv.receivers[: g.num_edges])
+        kw = dict(indices_are_sorted=False)
+        got_p = np.asarray(gather_sum_batched_separable(
+            a_bn, feats, snd, rcv, g.n_pad, b, table=table,
+            backend="pallas", **kw))
+        got_x = np.asarray(gather_sum_batched_separable(
+            a_bn, feats, snd, rcv, g.n_pad, b, backend="xla", **kw))
+        np.testing.assert_allclose(got_p, got_x, rtol=2e-5, atol=2e-5)
