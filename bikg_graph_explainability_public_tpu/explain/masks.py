@@ -212,7 +212,20 @@ class MaskSampler:
 
     def sample(self, key: jax.Array) -> Tuple[jax.Array, Optional[jax.Array], int]:
         """Returns (mask [M_used, width], pathway_rows or None, batch_size)
-        with rows shuffled and trimmed to ``epochs`` equal batches."""
+        with rows shuffled and trimmed to ``epochs`` equal batches.
+
+        Runs pinned to the host CPU device: community sampling is a Python
+        loop of small per-pathway draws, and on a remote-TPU backend each
+        tiny dispatch costs ~26 ms of tunnel latency (measured: 16-query
+        community-mode explain_many spent minutes in sampling alone).  The
+        draws are identical on any backend (counter-based threefry), and the
+        result ships to the compute device with the mask batch.
+        """
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            return self._sample(jax.device_put(key, cpu))
+
+    def _sample(self, key: jax.Array):
         k_mask, k_perm = jax.random.split(key)
         if self.pathway_inds is not None:
             mask, tags = sample_community_mask(
