@@ -97,7 +97,10 @@ def _activate_dead_mask(
     reps = rows // (num_pathways - 1) + 1
     choice = jnp.tile(perm, reps)[:rows]
     fixed = pm.at[jnp.arange(rows), choice].set(True)
-    return jax.lax.cond(pm.sum() == 0, lambda: fixed, lambda: pm)
+    # jnp.where, NOT lax.cond: this runs eagerly on the host CPU and an
+    # eager cond re-traces both branches every call (measured 59 ms/call —
+    # 72% of community-mode sampling time)
+    return jnp.where(pm.sum() == 0, fixed, pm)
 
 
 def sample_community_mask(
