@@ -25,7 +25,6 @@ import math
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from .pathways import segment_table
@@ -68,39 +67,52 @@ def build_plans(
     return plans
 
 
+def _np_rng(key: jax.Array) -> np.random.Generator:
+    """Counter-based numpy generator (Philox) seeded from a jax PRNG key.
+
+    Host-side sampling is a Python loop of small draws; as eager jax ops
+    those cost one dispatch each (26 ms over the remote-TPU tunnel, ~0.1 ms
+    on CPU — profiled at 72% of community-mode time).  numpy Philox keeps
+    the counter-based determinism story at zero dispatch cost; the key is
+    pulled to the host once per sample() call.
+    """
+    words = np.asarray(jax.random.key_data(key)).astype(np.uint64).ravel()
+    seed = (int(words[0]) << 32) ^ int(words[-1])
+    return np.random.Generator(np.random.Philox(seed))
+
+
 def _antithetic_pathway_mask(
-    key: jax.Array, rows_ext: int, num_pathways: int, ind_pathway: int
-) -> jax.Array:
+    rng: np.random.Generator, rows_ext: int, num_pathways: int,
+    ind_pathway: int,
+) -> np.ndarray:
     """Antithetic community coalition mask (reference ``pathways.py:234-283``):
     half random, half inverted, +1 extra random row when odd; the internal
     pathway's column forced False."""
     half = rows_ext // 2
-    k1, k2 = jax.random.split(key)
-    pm_half = jax.random.bernoulli(k1, 0.5, (half, num_pathways))
-    pm = jnp.concatenate([pm_half, ~pm_half], axis=0)
+    pm_half = rng.random((half, num_pathways)) < 0.5
+    pm = np.concatenate([pm_half, ~pm_half], axis=0)
     if rows_ext % 2 != 0:
-        extra = jax.random.bernoulli(k2, 0.5, (1, num_pathways))
-        pm = jnp.concatenate([pm, extra], axis=0)
-    return pm.at[:, ind_pathway].set(False)
+        extra = rng.random((1, num_pathways)) < 0.5
+        pm = np.concatenate([pm, extra], axis=0)
+    pm[:, ind_pathway] = False
+    return pm
 
 
 def _activate_dead_mask(
-    key: jax.Array, pm: jax.Array, ind_pathway: int
-) -> jax.Array:
+    rng: np.random.Generator, pm: np.ndarray, ind_pathway: int
+) -> np.ndarray:
     """If the whole external mask is False, flip one random community per row
     (reference ``pathways.py:285-334``)."""
     rows, num_pathways = pm.shape
-    if num_pathways <= 1:
+    if num_pathways <= 1 or pm.sum() != 0:
         return pm
-    perm = jax.random.permutation(key, num_pathways)
-    perm = perm[perm != ind_pathway]  # static size: num_pathways - 1
+    perm = rng.permutation(num_pathways)
+    perm = perm[perm != ind_pathway]
     reps = rows // (num_pathways - 1) + 1
-    choice = jnp.tile(perm, reps)[:rows]
-    fixed = pm.at[jnp.arange(rows), choice].set(True)
-    # jnp.where, NOT lax.cond: this runs eagerly on the host CPU and an
-    # eager cond re-traces both branches every call (measured 59 ms/call —
-    # 72% of community-mode sampling time)
-    return jnp.where(pm.sum() == 0, fixed, pm)
+    choice = np.tile(perm, reps)[:rows]
+    fixed = pm.copy()
+    fixed[np.arange(rows), choice] = True
+    return fixed
 
 
 def sample_community_mask(
@@ -121,26 +133,25 @@ def sample_community_mask(
     elements, seg_ids, _ = segment_table(
         [p.tolist() if isinstance(p, np.ndarray) else p for p in pathway_inds]
     )
-    elements_j = jnp.asarray(elements)
-    seg_ids_j = jnp.asarray(seg_ids)
     num_pathways = len(pathway_inds)
+    rng = _np_rng(key)
 
     blocks, row_tags, row_sizes = [], [], []
     cumulative = 0
     for enum, plan in enumerate(plans):
-        key, k_int, k_ext, k_dead = jax.random.split(key, 4)
-        internal = jax.random.bernoulli(k_int, 0.5, (plan.size, plan.columns.shape[0]))
+        internal = rng.random((plan.size, plan.columns.shape[0])) < 0.5
 
         rows_ext = plan.size - plan.size_internal
-        mask = jnp.zeros((plan.size, width), bool)
+        mask = np.zeros((plan.size, width), bool)
         if rows_ext > 0 and num_pathways > 1:
-            pm = _antithetic_pathway_mask(k_ext, rows_ext, num_pathways, enum)
-            pm = _activate_dead_mask(k_dead, pm, enum)
-            element_mask = pm[:, seg_ids_j]  # [rows_ext, L_total]
-            ext = jnp.zeros((rows_ext, width), jnp.int32)
-            ext = ext.at[:, elements_j].max(element_mask.astype(jnp.int32))
-            mask = mask.at[plan.size_internal :, :].set(ext.astype(bool))
-        mask = mask.at[:, jnp.asarray(plan.columns)].set(internal)
+            pm = _antithetic_pathway_mask(rng, rows_ext, num_pathways, enum)
+            pm = _activate_dead_mask(rng, pm, enum)
+            element_mask = pm[:, seg_ids]  # [rows_ext, L_total]
+            ext = np.zeros((rows_ext, width), bool)
+            # scatter-or: elements may repeat across pathways
+            np.logical_or.at(ext, (slice(None), elements), element_mask)
+            mask[plan.size_internal :, :] = ext
+        mask[:, plan.columns] = internal
         blocks.append(mask)
         row_tags.append(np.full((plan.size,), plan.pathway_index, np.int32))
         row_sizes.append(np.full((plan.size,), plan.columns.shape[0], np.int32))
@@ -154,27 +165,28 @@ def sample_community_mask(
             break
         cumulative += plan.size
 
-    full = jnp.concatenate(blocks, axis=0)
-    tags = jnp.asarray(np.concatenate(row_tags))
+    full = np.concatenate(blocks, axis=0)
+    tags = np.concatenate(row_tags)
     sizes = np.concatenate(row_sizes)
 
     if num_elements > 4000 and full.shape[0] > total:
         # biggest-communities-first subsample (masks.py:367-380)
         order = np.argsort(-sizes, kind="stable")[:total]
-        full = full[jnp.asarray(order)]
-        tags = tags[jnp.asarray(order)]
+        full = full[order]
+        tags = tags[order]
     return full, tags
 
 
 def sample_shapley_mask(
     key: jax.Array, num_elements: int, width: int, total: int
-) -> jax.Array:
+) -> np.ndarray:
     """Fully random mask for Shapley-value mode (reference
     ``masks.py:231-260``); padding columns beyond ``num_elements`` stay
-    False."""
-    bits = jax.random.bernoulli(key, 0.5, (total, width))
-    col_valid = jnp.arange(width) < num_elements
-    return bits & col_valid[None, :]
+    False.  Host-side numpy (see :func:`_np_rng`); the jit-internal Shapley
+    draw in ``explain/batch.py`` stays ``jax.random``."""
+    bits = _np_rng(key).random((total, width)) < 0.5
+    bits[:, num_elements:] = False
+    return bits
 
 
 class MaskSampler:
@@ -213,23 +225,18 @@ class MaskSampler:
         self.total = self.n_perturbs * self.epochs
         self.pathway_inds = pathway_inds
 
-    def sample(self, key: jax.Array) -> Tuple[jax.Array, Optional[jax.Array], int]:
+    def sample(self, key: jax.Array) -> Tuple[np.ndarray, Optional[np.ndarray], int]:
         """Returns (mask [M_used, width], pathway_rows or None, batch_size)
         with rows shuffled and trimmed to ``epochs`` equal batches.
 
-        Runs pinned to the host CPU device: community sampling is a Python
-        loop of small per-pathway draws, and on a remote-TPU backend each
-        tiny dispatch costs ~26 ms of tunnel latency (measured: 16-query
-        community-mode explain_many spent minutes in sampling alone).  The
-        draws are identical on any backend (counter-based threefry), and the
-        result ships to the compute device with the mask batch.
+        Entirely host-side numpy, deterministically derived from ``key``
+        (see :func:`_np_rng`): as eager jax ops each tiny per-pathway draw
+        cost one dispatch — ~26 ms over the remote-TPU tunnel, ~0.1 ms even
+        on local CPU — which dominated community-mode throughput.
         """
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            return self._sample(jax.device_put(key, cpu))
-
-    def _sample(self, key: jax.Array):
-        k_mask, k_perm = jax.random.split(key)
+        k_mask, k_perm = jax.random.split(
+            jax.device_put(key, jax.devices("cpu")[0])
+        )
         if self.pathway_inds is not None:
             mask, tags = sample_community_mask(
                 k_mask, self.pathway_inds, self.num_elements, self.width, self.total
@@ -239,7 +246,7 @@ class MaskSampler:
             tags = None
 
         m_total = mask.shape[0]
-        perm = jax.random.permutation(k_perm, m_total)
+        perm = _np_rng(k_perm).permutation(m_total)
         mask = mask[perm]
         if tags is not None:
             tags = tags[perm]
