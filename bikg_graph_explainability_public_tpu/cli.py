@@ -48,12 +48,11 @@ def _load_graph(path: str):
     return feat, edge_index, names
 
 
-def cmd_explain(args: argparse.Namespace) -> int:
-    """Run one explanation from the command line and print/save the DataFrames."""
+def _load_model(checkpoint: str):
+    """Build a Model from a torch checkpoint (homo GCN or HeteroConv)."""
     import os
 
     import bikg_graph_explainability_public_tpu as px
-    from .config import DEFAULTS, load_config
     from .models.torch_import import (
         gcn_node_model_params,
         hetero_gcn_params,
@@ -61,12 +60,9 @@ def cmd_explain(args: argparse.Namespace) -> int:
         load_state_dict,
     )
 
-    feat, edge_index, names = _load_graph(args.graph)
-    cfg = load_config(args.config) if args.config else load_config(dict(DEFAULTS))
-
-    if not os.path.exists(args.checkpoint):
-        _fail(f"checkpoint not found: {args.checkpoint}")
-    sd = load_state_dict(args.checkpoint)
+    if not os.path.exists(checkpoint):
+        _fail(f"checkpoint not found: {checkpoint}")
+    sd = load_state_dict(checkpoint)
     if any(k.startswith("conv.0.convs.") for k in sd):
         # HeteroConv-of-GCNConv checkpoint — infer the relation set from keys
         relations = hetero_relations_from_state_dict(sd)
@@ -101,13 +97,29 @@ def cmd_explain(args: argparse.Namespace) -> int:
             ),
             params,
         )
+    return model
 
+
+def _load_pathways(args):
     pathways = pathway_names = None
     if args.pathways:
         with open(args.pathways) as f:
             pw = json.load(f)
         pathways = pw["pathways"]
         pathway_names = pw.get("names")
+    return pathways, pathway_names
+
+
+def cmd_explain(args: argparse.Namespace) -> int:
+    """Run one explanation from the command line and print/save the DataFrames."""
+    import bikg_graph_explainability_public_tpu as px
+    from .config import DEFAULTS, load_config
+
+    feat, edge_index, names = _load_graph(args.graph)
+    cfg = load_config(args.config) if args.config else load_config(dict(DEFAULTS))
+    model = _load_model(args.checkpoint)
+
+    pathways, pathway_names = _load_pathways(args)
 
     ex = px.Explainer(
         feat,
@@ -133,6 +145,55 @@ def cmd_explain(args: argparse.Namespace) -> int:
         if pw_df is not None:
             print()
             print(pw_df.to_string())
+    return 0
+
+
+def cmd_explain_batch(args: argparse.Namespace) -> int:
+    """Explain many queries in one vmapped program (optionally sharded
+    over a device mesh) — the production throughput path."""
+    import bikg_graph_explainability_public_tpu as px
+    from .config import DEFAULTS, load_config
+
+    feat, edge_index, names = _load_graph(args.graph)
+    cfg = load_config(args.config) if args.config else load_config(dict(DEFAULTS))
+    model = _load_model(args.checkpoint)
+    pathways, pathway_names = _load_pathways(args)
+
+    name_to_idx = {n: i for i, n in enumerate(names)}
+    queries = []
+    for el in args.elements.split(","):
+        el = el.strip()
+        if el not in name_to_idx:
+            _fail(f"element {el!r} is not present in the graph")
+        queries.append(name_to_idx[el])
+
+    mesh = None
+    if args.mesh_devices:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh_devices)
+
+    g = px.from_arrays(feat, edge_index)
+    dfs = px.explain_many(
+        model, g, queries, cfg.to_dict(), names=names, times=args.times,
+        mesh=mesh, pathways=pathways, pathway_names=pathway_names,
+        problem=args.problem,
+    )
+    for el, out in zip(args.elements.split(","), dfs):
+        cv_df, pw_df = out if isinstance(out, tuple) else (out, None)
+        if args.out:
+            path = f"{args.out.rsplit('.', 1)[0]}_{el.strip()}.csv"
+            cv_df.to_csv(path)
+            print(f"wrote {path}")
+            if pw_df is not None:
+                pw_path = f"{args.out.rsplit('.', 1)[0]}_{el.strip()}_pathways.csv"
+                pw_df.to_csv(pw_path)
+                print(f"wrote {pw_path}")
+        else:
+            print(f"== element {el.strip()}")
+            print(cv_df.to_string())
+            if pw_df is not None:
+                print(pw_df.to_string())
     return 0
 
 
@@ -178,6 +239,30 @@ def main(argv=None) -> int:
     pe.add_argument("--times", type=int, default=1)
     pe.add_argument("--out", help="CSV output path")
     pe.set_defaults(fn=cmd_explain)
+
+    peb = sub.add_parser(
+        "explain-batch",
+        help="explain many elements in one compiled program (throughput path)",
+    )
+    peb.add_argument("--graph", required=True, help=".npz with feat/edge_index[/names]")
+    peb.add_argument("--checkpoint", required=True, help="torch .pth.tar checkpoint")
+    peb.add_argument(
+        "--elements", required=True, help="comma-separated element names"
+    )
+    peb.add_argument("--config", help="hyperparameter JSON (reference schema)")
+    peb.add_argument("--pathways", help="JSON with pathways/names")
+    peb.add_argument(
+        "--problem",
+        default="node_prediction",
+        choices=["node_prediction", "edge_prediction", "graph_prediction"],
+    )
+    peb.add_argument("--times", type=int, default=1)
+    peb.add_argument(
+        "--mesh-devices", type=int, default=0,
+        help="shard the query axis over this many devices (0 = no mesh)",
+    )
+    peb.add_argument("--out", help="CSV output path prefix")
+    peb.set_defaults(fn=cmd_explain_batch)
 
     pb = sub.add_parser("bench", help="run the headline benchmark")
     pb.set_defaults(fn=cmd_bench)

@@ -64,3 +64,42 @@ class TestCLI:
         assert os.path.exists(out.replace(".csv", "_pathways.csv"))
         header = open(out).readline().strip()
         assert header == "name,config_value_mean,config_value_std"
+
+
+class TestExplainBatchCommand:
+    """explain-batch: the multi-query throughput path via the CLI."""
+
+    @pytest.mark.skipif(not os.path.exists(HOMO_CKPT), reason="ckpt absent")
+    def test_explain_batch_homo(self, graph_npz, tmp_path):
+        cfgp = tmp_path / "cfg.json"
+        cfgp.write_text(json.dumps({
+            "seed": 1, "interpret_samples": 6, "epochs": 4,
+            "lr": 0.01, "l1_lambda": 1e-4,
+        }))
+        out = tmp_path / "scores.csv"
+        rc = main([
+            "explain-batch", "--graph", graph_npz, "--checkpoint", HOMO_CKPT,
+            "--elements", "3,7", "--config", str(cfgp),
+            "--out", str(out),
+        ])
+        assert rc == 0
+        import pandas as pd
+
+        for el in ("3", "7"):
+            df = pd.read_csv(tmp_path / f"scores_{el}.csv", index_col=0)
+            assert len(df) > 0 and df["config_value_mean"].notna().all()
+
+    def test_explain_batch_unknown_element(self, tmp_path):
+        from bikg_graph_explainability_public_tpu.cli import main
+
+        rng = np.random.default_rng(22)
+        feat = rng.normal(size=(10, 4)).astype(np.float32)
+        ei = np.stack([rng.integers(0, 10, 30), rng.integers(0, 10, 30)])
+        gpath = tmp_path / "g.npz"
+        np.savez(gpath, feat=feat, edge_index=ei)
+        with pytest.raises(SystemExit):
+            main([
+                "explain-batch", "--graph", str(gpath),
+                "--checkpoint", "/nonexistent.pth.tar",
+                "--elements", "notanode",
+            ])
