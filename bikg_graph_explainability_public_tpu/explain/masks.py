@@ -27,8 +27,6 @@ from typing import List, NamedTuple, Optional, Sequence, Tuple
 import jax
 import numpy as np
 
-from .pathways import segment_table
-
 
 class MaskPlan(NamedTuple):
     """Static (host-side) sampling plan for one pathway."""
@@ -76,26 +74,35 @@ def _np_rng(key: jax.Array) -> np.random.Generator:
     the counter-based determinism story at zero dispatch cost; the key is
     pulled to the host once per sample() call.
     """
+    if isinstance(key, np.random.Generator):
+        return key
     words = np.asarray(jax.random.key_data(key)).astype(np.uint64).ravel()
     seed = (int(words[0]) << 32) ^ int(words[-1])
     return np.random.Generator(np.random.Philox(seed))
 
 
-def _antithetic_pathway_mask(
-    rng: np.random.Generator, rows_ext: int, num_pathways: int,
-    ind_pathway: int,
-) -> np.ndarray:
-    """Antithetic community coalition mask (reference ``pathways.py:234-283``):
-    half random, half inverted, +1 extra random row when odd; the internal
-    pathway's column forced False."""
-    half = rows_ext // 2
-    pm_half = rng.random((half, num_pathways)) < 0.5
-    pm = np.concatenate([pm_half, ~pm_half], axis=0)
-    if rows_ext % 2 != 0:
-        extra = rng.random((1, num_pathways)) < 0.5
-        pm = np.concatenate([pm, extra], axis=0)
-    pm[:, ind_pathway] = False
-    return pm
+def _philox_streams(key: jax.Array, n: int) -> List[np.random.Generator]:
+    """``n`` independent host-side Philox streams from one jax PRNG key.
+
+    Derivation touches no jax op beyond ``key_data`` (a host pull), so it
+    works under any ``JAX_PLATFORMS`` restriction — ``jax.devices("cpu")``
+    raises when platforms are limited to TPU-only (ADVICE r2) — and costs
+    zero device dispatches.
+    """
+    words = np.asarray(jax.random.key_data(key)).astype(np.uint64).ravel()
+    k0, k1 = int(words[0]), int(words[-1])
+    golden = 0x9E3779B97F4A7C15
+    return [
+        np.random.Generator(
+            np.random.Philox(
+                key=np.array(
+                    [k0, (k1 ^ (golden * (i + 1))) & 0xFFFFFFFFFFFFFFFF],
+                    dtype=np.uint64,
+                )
+            )
+        )
+        for i in range(n)
+    ]
 
 
 def _activate_dead_mask(
@@ -121,57 +128,105 @@ def sample_community_mask(
     num_elements: int,
     width: int,
     total: int,
-) -> Tuple[jax.Array, jax.Array]:
-    """Full Configuration-Value mask.
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Full Configuration-Value mask — vectorized across pathways.
 
     Returns (mask [M, width] bool, pathway_rows [M] int32) where M = sum of
     per-pathway row budgets and ``pathway_rows[r]`` is the original index of
     the pathway whose internal bits occupy row r (reference
     ``masks.py:340-360``).  The >4000-element early break is honoured.
+
+    The reference builds this block-by-block in a Python loop with per-block
+    draws (``masks.py:322-348``); profiled at ~70% of community-mode time
+    here.  This implementation draws two uniform tensors for ALL blocks at
+    once and assembles every block with numpy vector ops: per-row antithetic
+    partners are index arithmetic, the community->element expansion is one
+    boolean matmul against the [P, width] membership matrix, and internal
+    bits overwrite own-community columns via a single ``where``.  Semantics
+    (internal bits / antithetic external coalitions / dead-mask reactivation
+    / budget cap / biggest-first subsample) are unchanged — asserted by the
+    coalition-validity tests.  ``key`` may be a jax PRNG key or a numpy
+    Generator.
     """
     plans = build_plans(pathway_inds, total)
-    elements, seg_ids, _ = segment_table(
-        [p.tolist() if isinstance(p, np.ndarray) else p for p in pathway_inds]
-    )
     num_pathways = len(pathway_inds)
     rng = _np_rng(key)
 
-    blocks, row_tags, row_sizes = [], [], []
+    # memory cap: biggest pathways only.  The check deliberately runs BEFORE
+    # the just-appended block is counted — exactly the reference's order
+    # (masks.py:343-348: `if cumulative_size > ...: break` precedes
+    # `cumulative_size += mask.shape[0]`), so the break fires on the same
+    # pathway as the oracle (asserted in tests/test_masks.py).
+    used: List[MaskPlan] = []
     cumulative = 0
-    for enum, plan in enumerate(plans):
-        internal = rng.random((plan.size, plan.columns.shape[0])) < 0.5
-
-        rows_ext = plan.size - plan.size_internal
-        mask = np.zeros((plan.size, width), bool)
-        if rows_ext > 0 and num_pathways > 1:
-            pm = _antithetic_pathway_mask(rng, rows_ext, num_pathways, enum)
-            pm = _activate_dead_mask(rng, pm, enum)
-            element_mask = pm[:, seg_ids]  # [rows_ext, L_total]
-            ext = np.zeros((rows_ext, width), bool)
-            # scatter-or: elements may repeat across pathways
-            np.logical_or.at(ext, (slice(None), elements), element_mask)
-            mask[plan.size_internal :, :] = ext
-        mask[:, plan.columns] = internal
-        blocks.append(mask)
-        row_tags.append(np.full((plan.size,), plan.pathway_index, np.int32))
-        row_sizes.append(np.full((plan.size,), plan.columns.shape[0], np.int32))
-
-        # memory cap: biggest pathways only.  The check deliberately runs
-        # BEFORE the just-appended block is counted — exactly the reference's
-        # order (masks.py:343-348: `if cumulative_size > ...: break` precedes
-        # `cumulative_size += mask.shape[0]`), so the break fires on the same
-        # pathway as the oracle (asserted in tests/test_masks.py).
+    for plan in plans:
+        used.append(plan)
         if cumulative > total and num_elements > 4000:
             break
         cumulative += plan.size
 
-    full = np.concatenate(blocks, axis=0)
-    tags = np.concatenate(row_tags)
-    sizes = np.concatenate(row_sizes)
+    # enum index of each used plan = its position in the sorted plan list
+    # (the reference's `ind_pathway` for the forced-False own column)
+    sizes_b = np.array([p.size for p in used], np.int64)
+    si_b = np.array([p.size_internal for p in used], np.int64)
+    tags_b = np.array([p.pathway_index for p in used], np.int32)
+    lens_b = np.array([p.columns.shape[0] for p in used], np.int32)
+    m_total = int(sizes_b.sum())
+    starts = np.zeros(len(used), np.int64)
+    np.cumsum(sizes_b[:-1], out=starts[1:])
 
-    if num_elements > 4000 and full.shape[0] > total:
+    mem = np.zeros((num_pathways, width), bool)  # [P, width] membership
+    for i, p in enumerate(pathway_inds):
+        mem[i, np.fromiter((int(v) for v in p), np.int64)] = True
+
+    rows = np.arange(m_total)
+    row_block = np.repeat(np.arange(len(used)), sizes_b)  # [M] used-plan idx
+    row_tag = tags_b[row_block]  # [M] original pathway index
+    local = rows - starts[row_block]
+    is_ext = local >= si_b[row_block]
+    j = local - si_b[row_block]  # ext-local row index (where is_ext)
+    half = ((sizes_b - si_b) // 2)[row_block]
+
+    u_elem = rng.random((m_total, width))
+    u_path = rng.random((m_total, num_pathways))
+
+    own = mem[row_tag]  # [M, width] own-community columns
+    internal = u_elem < 0.5
+
+    # antithetic external coalitions: second half inverts the first half
+    # (reference pathways.py:234-283); odd tail row is a fresh draw
+    invert = is_ext & (j >= half) & (j < 2 * half)
+    base = np.where(invert, rows - half, rows)
+    pm = (u_path[base] < 0.5) ^ invert[:, None]
+    pm[~is_ext] = False
+    if num_pathways > 1:
+        pm[rows, row_tag] = False  # own community never in the coalition
+    else:
+        pm[:] = False  # no external coalitions with a single community
+
+    if num_pathways > 1:
+        # dead-mask reactivation (reference pathways.py:285-334): when a
+        # block's whole external mask is all-False, flip one random other
+        # community per row.  All-False needs every bit of a
+        # [rows_ext, P-1] draw to land False — vanishingly rare except for
+        # tiny blocks, so the fix stays a per-affected-block loop.
+        row_any = pm.any(axis=1)
+        for bi in range(len(used)):
+            s = int(starts[bi] + si_b[bi])
+            e = int(starts[bi] + sizes_b[bi])
+            if e > s and not row_any[s:e].any():
+                pm[s:e] = _activate_dead_mask(rng, pm[s:e], int(tags_b[bi]))
+
+    # community coalition -> element bits: one boolean matmul (elements in
+    # several coalition communities OR together, like the reference's
+    # scatter-or over the segment table)
+    ext_elem = pm.astype(np.uint8) @ mem.astype(np.uint8) > 0
+    full = np.where(own, internal, ext_elem)
+
+    tags = row_tag
+    if num_elements > 4000 and m_total > total:
         # biggest-communities-first subsample (masks.py:367-380)
-        order = np.argsort(-sizes, kind="stable")[:total]
+        order = np.argsort(-lens_b[row_block], kind="stable")[:total]
         full = full[order]
         tags = tags[order]
     return full, tags
@@ -183,7 +238,8 @@ def sample_shapley_mask(
     """Fully random mask for Shapley-value mode (reference
     ``masks.py:231-260``); padding columns beyond ``num_elements`` stay
     False.  Host-side numpy (see :func:`_np_rng`); the jit-internal Shapley
-    draw in ``explain/batch.py`` stays ``jax.random``."""
+    draw in ``explain/batch.py`` stays ``jax.random``.  ``key`` may be a jax
+    PRNG key or a numpy Generator."""
     bits = _np_rng(key).random((total, width)) < 0.5
     bits[:, num_elements:] = False
     return bits
@@ -230,23 +286,23 @@ class MaskSampler:
         with rows shuffled and trimmed to ``epochs`` equal batches.
 
         Entirely host-side numpy, deterministically derived from ``key``
-        (see :func:`_np_rng`): as eager jax ops each tiny per-pathway draw
-        cost one dispatch — ~26 ms over the remote-TPU tunnel, ~0.1 ms even
-        on local CPU — which dominated community-mode throughput.
+        (see :func:`_philox_streams`): as eager jax ops each tiny per-pathway
+        draw cost one dispatch — ~26 ms over the remote-TPU tunnel, ~0.1 ms
+        even on local CPU — which dominated community-mode throughput.  No
+        jax op runs at all (an eager split + ``jax.devices("cpu")`` lookup
+        broke TPU-only platform configs and paid one dispatch per call).
         """
-        k_mask, k_perm = jax.random.split(
-            jax.device_put(key, jax.devices("cpu")[0])
-        )
+        rng_mask, rng_perm = _philox_streams(key, 2)
         if self.pathway_inds is not None:
             mask, tags = sample_community_mask(
-                k_mask, self.pathway_inds, self.num_elements, self.width, self.total
+                rng_mask, self.pathway_inds, self.num_elements, self.width, self.total
             )
         else:
-            mask = sample_shapley_mask(k_mask, self.num_elements, self.width, self.total)
+            mask = sample_shapley_mask(rng_mask, self.num_elements, self.width, self.total)
             tags = None
 
         m_total = mask.shape[0]
-        perm = _np_rng(k_perm).permutation(m_total)
+        perm = rng_perm.permutation(m_total)
         mask = mask[perm]
         if tags is not None:
             tags = tags[perm]

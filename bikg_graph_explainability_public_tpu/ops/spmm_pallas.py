@@ -37,6 +37,7 @@ backend entry used by :func:`.spmm.weighted_gather_sum_batched` when the
 from __future__ import annotations
 
 import functools
+import weakref
 from typing import NamedTuple, Optional
 
 import jax
@@ -246,20 +247,38 @@ def spmm_ell_pallas(
 _PLAN_CACHE: dict = {}
 
 
+def _cache_by_identity(cache: dict, anchor, key_extra: tuple, build):
+    """id()-keyed cache with finalizer eviction.
+
+    A bare ``id()`` key is unsafe: CPython reuses addresses after GC, so a
+    new array allocated where an old table's array lived would silently hit
+    the stale entry (and the cache would grow without bound).  Registering a
+    ``weakref.finalize`` on the anchor object evicts the entry the moment the
+    anchor dies, so a live key always refers to the object it was built for.
+    """
+    key = (id(anchor),) + key_extra
+    val = cache.get(key)
+    if val is None:
+        val = build()
+        cache[key] = val
+        weakref.finalize(anchor, cache.pop, key, None)
+    return val
+
+
 def plan_for_table(table, w_width: int) -> Optional[CompactPlan]:
     """CompactPlan for a NeighborTable at the given row payload (cached by
     table identity; returns None when K blows the VMEM budget)."""
     tr = _pick_tr(table.k, w_width)
     if tr == 0:
         return None
-    key = (id(table.nbr), tr)
-    plan = _PLAN_CACHE.get(key)
-    if plan is None:
-        plan = build_compact_plan(
+    return _cache_by_identity(
+        _PLAN_CACHE,
+        table.nbr,
+        (tr,),
+        lambda: build_compact_plan(
             np.asarray(table.nbr), np.asarray(table.valid), tr
-        )
-        _PLAN_CACHE[key] = plan
-    return plan
+        ),
+    )
 
 
 def batched_gather_sum(
@@ -312,13 +331,14 @@ def gather_sum_static(
         plan = plan_for_table(table, feats.shape[1])
     if plan is None:
         raise ValueError(f"K={table.k} too large for the VMEM gather scratch")
-    key = id(table.valid)
-    w1 = _STATIC_WSLOT_CACHE.get(key)
-    if w1 is None:
-        # NUMPY on purpose: built once per table, passed as a jit argument;
-        # a traced slice cached here would leak across traces
-        w1 = np.asarray(table.valid)[:, :, None].astype(np.float32)  # [N,K,1]
-        _STATIC_WSLOT_CACHE[key] = w1
+    # NUMPY on purpose: built once per table, passed as a jit argument;
+    # a traced slice cached here would leak across traces
+    w1 = _cache_by_identity(
+        _STATIC_WSLOT_CACHE,
+        table.valid,
+        (),
+        lambda: np.asarray(table.valid)[:, :, None].astype(np.float32),
+    )
     return spmm_ell_pallas(
         plan.src, plan.dst, plan.cnt, w1, feats,
         k=table.k, tr=plan.tr, b=b, interpret=interpret,

@@ -52,10 +52,13 @@ def initialize_distributed(
     global _DISTRIBUTED_INITIALIZED
     import os
 
-    if _DISTRIBUTED_INITIALIZED or jax.process_count() > 1:
-        _DISTRIBUTED_INITIALIZED = True
-        return True
+    if _DISTRIBUTED_INITIALIZED:
+        return jax.process_count() > 1
 
+    # CRITICAL: jax.distributed.initialize() must run before *any* call that
+    # initializes the XLA backend (jax.process_count(), jax.default_backend(),
+    # jax.devices(), ...) — jax >= 0.9 raises a RuntimeError otherwise.  So the
+    # pod/coordinator decision is made from environment variables ALONE.
     coordinator_address = coordinator_address or os.environ.get(
         "COORDINATOR_ADDRESS"
     )
@@ -64,15 +67,30 @@ def initialize_distributed(
     if process_id is None and "PROCESS_ID" in os.environ:
         process_id = int(os.environ["PROCESS_ID"])
 
-    on_tpu_pod = jax.default_backend() == "tpu"
+    # Cloud TPU pods expose their topology via these env vars (set by the TPU
+    # runtime / GKE).  A *multi-worker* topology means auto-discovery will
+    # succeed with no explicit coordinator; a single hostname (every TPU VM
+    # sets TPU_WORKER_HOSTNAMES, even 1-host boxes) must NOT trigger
+    # initialization — single-process runs would fail the backends-initialized
+    # check for nothing.
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    on_tpu_pod = (
+        "," in hostnames
+        or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ
+        or (num_processes or 0) > 1
+    )
     if coordinator_address is None and not on_tpu_pod:
         return False  # single-process run; nothing to initialize
 
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # idempotency: someone initialized before us
+        if "already initialized" not in str(e).lower():
+            raise
     _DISTRIBUTED_INITIALIZED = True
     return jax.process_count() > 1
 
