@@ -28,7 +28,7 @@ from ..graph import (
 )
 from ..models.adapter import Model
 from ..ops.khop import extract_khop_subgraph
-from ..utils.prng import repeat_key
+from ..utils.prng import repeat_split_key_data
 from .masks import MaskSampler
 from .pathways import Pathways
 from .wlm import train_model
@@ -302,9 +302,11 @@ class Explainer:
         timer = PhaseTimer()
         config_vals: List[np.ndarray] = []
         diag: Dict[str, Any] = {"losses": [], "best_epoch": []}
+        # all repeats' (mask, init) key data in one compiled dispatch —
+        # eager per-repeat fold_in/split each cost a device round trip
+        kd = repeat_split_key_data(seed, times)  # [T, 2, 2]
         for i in range(times):
-            key = repeat_key(seed, i)
-            k_mask, k_init = jax.random.split(key)
+            k_mask, k_init = kd[i, 0], kd[i, 1]
             with timer.phase("mask_sampling"):
                 mask, _tags, batch_size = sampler.sample(k_mask)
             with timer.phase("surrogate_training"):

@@ -76,9 +76,19 @@ def _np_rng(key: jax.Array) -> np.random.Generator:
     """
     if isinstance(key, np.random.Generator):
         return key
-    words = np.asarray(jax.random.key_data(key)).astype(np.uint64).ravel()
+    words = _key_words(key)
     seed = (int(words[0]) << 32) ^ int(words[-1])
     return np.random.Generator(np.random.Philox(seed))
+
+
+def _key_words(key) -> np.ndarray:
+    """uint64 words of a jax PRNG key — or of pre-pulled key data (a numpy
+    array), so batch callers can fold many keys in ONE device dispatch and
+    hand the host-side rows out (each eager ``fold_in`` costs ~26 ms over a
+    remote-TPU tunnel)."""
+    if isinstance(key, np.ndarray):
+        return key.astype(np.uint64).ravel()
+    return np.asarray(jax.random.key_data(key)).astype(np.uint64).ravel()
 
 
 def _philox_streams(key: jax.Array, n: int) -> List[np.random.Generator]:
@@ -87,9 +97,9 @@ def _philox_streams(key: jax.Array, n: int) -> List[np.random.Generator]:
     Derivation touches no jax op beyond ``key_data`` (a host pull), so it
     works under any ``JAX_PLATFORMS`` restriction — ``jax.devices("cpu")``
     raises when platforms are limited to TPU-only (ADVICE r2) — and costs
-    zero device dispatches.
+    zero device dispatches.  ``key`` may also be pre-pulled key data (numpy).
     """
-    words = np.asarray(jax.random.key_data(key)).astype(np.uint64).ravel()
+    words = _key_words(key)
     k0, k1 = int(words[0]), int(words[-1])
     golden = 0x9E3779B97F4A7C15
     return [

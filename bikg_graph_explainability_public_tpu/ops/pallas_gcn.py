@@ -43,9 +43,28 @@ def _pick_tile(n: int, target: int) -> int:
     return 1
 
 
+def _pick_tile_aligned(n: int, target: int) -> int:
+    """N-tile choice whose in-kernel slice offsets Mosaic can prove aligned.
+
+    ``s_ref``/``xw_ref`` are sliced at ``i_n * tn`` inside the kernel; lane
+    offsets must be 128-multiples and sublane offsets 8-multiples, so pick the
+    largest divisor of n that is <= target AND a multiple of 128.  When none
+    exists (small or odd n) fall back to tn = n: a single n-step means every
+    slice offset is 0, which is always aligned.
+    """
+    for t in range(min(target, n), 0, -1):
+        if n % t == 0 and t % 128 == 0:
+            return t
+    return n
+
+
 def _pad_batch(b: int, multiple: int = 8) -> int:
     """TPU Pallas block sublanes must divide by 8; the batch pads up."""
     return ((b + multiple - 1) // multiple) * multiple
+
+
+def _round_up(v: int, m: int) -> int:
+    return ((v + m - 1) // m) * m
 
 
 def _interpret() -> bool:
@@ -125,13 +144,22 @@ def masked_gcn_layer(
 ) -> jax.Array:  # [B, N, C] f32
     """Fused masked GCN layer (Pallas): normalize + aggregate + transform in one kernel."""
     b0, n = s.shape
-    c = xw.shape[1]
+    c0 = xw.shape[1]
     b = _pad_batch(b0)
     if b != b0:
         s = jnp.pad(s, ((0, b - b0), (0, 0)))
         self_w = jnp.pad(self_w, ((0, b - b0), (0, 0)))
+    # per-sample stride in the wide scratch must be lane-aligned: slicing
+    # ``scaled[:, t*c : (t+1)*c]`` at a non-128-multiple offset is a Mosaic
+    # compile error ("cannot statically prove index is a multiple of 128"
+    # for e.g. C=120 or the lungCancer checkpoint's C=16), so the channel
+    # dim pads to 128 and the output slices back down
+    c = _round_up(c0, 128)
+    if c != c0:
+        xw = jnp.pad(xw, ((0, 0), (0, c - c0)))
+        bias = jnp.pad(bias, (0, c - c0))
     tb = 8 if b % 8 == 0 else _pick_tile(b, 8)
-    tn = _pick_tile(n, 256)
+    tn = _pick_tile_aligned(n, 256)
     grid = (b // tb, n // tn)
     kernel = functools.partial(
         _layer_kernel_shared, tb=tb, tn=tn, c=c, apply_relu=apply_relu
@@ -156,7 +184,7 @@ def masked_gcn_layer(
         ),
         interpret=_interpret(),
     )(s, self_w, adj_bf16, xw, bias.reshape(1, c))
-    return out[:b0]
+    return out[:b0, :, :c0]
 
 
 @functools.partial(jax.jit, static_argnames=("apply_relu",))
@@ -171,14 +199,19 @@ def masked_gcn_layer_batched(
 ) -> jax.Array:
     """Batched fused masked GCN layer over a [B, N] mask batch."""
     b0, n = s.shape
-    c_in, c = w_t.shape
+    c_in, c0 = w_t.shape
     b = _pad_batch(b0)
     if b != b0:
         s = jnp.pad(s, ((0, b - b0), (0, 0)))
         self_w = jnp.pad(self_w, ((0, b - b0), (0, 0)))
         h = jnp.pad(h, ((0, b - b0), (0, 0), (0, 0)))
+    # lane-align the per-sample scratch stride (see masked_gcn_layer)
+    c = _round_up(c0, 128)
+    if c != c0:
+        w_t = jnp.pad(w_t, ((0, 0), (0, c - c0)))
+        bias = jnp.pad(bias, (0, c - c0))
     tb = 8 if b % 8 == 0 else _pick_tile(b, 8)
-    tn = _pick_tile(n, 256)
+    tn = _pick_tile_aligned(n, 256)
     grid = (b // tb, n // tn)
     kernel = functools.partial(
         _layer_kernel_batched, tb=tb, tn=tn, c=c, apply_relu=apply_relu
@@ -204,4 +237,4 @@ def masked_gcn_layer_batched(
         ),
         interpret=_interpret(),
     )(s, self_w, adj_bf16, h, w_t, bias.reshape(1, c))
-    return out[:b0]
+    return out[:b0, :, :c0]

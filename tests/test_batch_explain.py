@@ -259,10 +259,19 @@ class TestExplainManyV2Problems:
             model, g, [3], cfg_high, names=homo_names, times=3,
         )
         assert set(dfs[0].index) == set(single.index)
-        # self-calibrating: agree at least as well as the Explainer agrees
-        # with itself across seeds (random-init attributions are noisy)
-        noise_floor = _corr(single, single_b)
-        assert _corr(dfs[0], single) > noise_floor - 0.2
+        # Value-space self-calibration.  A randomly-initialized model gives
+        # near-equal true attributions, so the *correlation* between two
+        # independent estimates is noise-dominated no matter the budget
+        # (cross-seed Explainer-vs-Explainer corr ~0.2 here) — a corr
+        # threshold flakes on any RNG-stream change.  Instead require the
+        # explain_many estimate to sit within the estimator spread measured
+        # between two Explainer seeds: catches systematic divergence (wrong
+        # masks/normalisation) while tolerating stream noise.
+        m = dfs[0]["config_value_mean"]
+        s1 = single["config_value_mean"].reindex(m.index)
+        s2 = single_b["config_value_mean"].reindex(m.index)
+        spread = float(np.abs(s1 - s2).max()) + 1e-9
+        assert float(np.abs(m - s1).max()) < 3.0 * spread
 
 
 class TestSizeBuckets:

@@ -54,14 +54,28 @@ class TestCompiledPallasSpmm:
 
 
 class TestCompiledPallasDenseGcn:
-    def test_masked_layer_matches_xla_compiled(self):
+    @pytest.mark.parametrize(
+        "n,f,channels",
+        [
+            # lane-unaligned N (120) and channel strides (32): the r2 Mosaic
+            # regression shape — per-sample scratch slices at t*32 offsets
+            (120, 16, (32, 32)),
+            # the lungCancer checkpoint's widths: F=84 features, C=16 convs
+            (84, 84, (16,)),
+            # non-128-multiple channel width above the sublane multiple
+            (200, 12, (120,)),
+        ],
+    )
+    def test_masked_layer_matches_xla_compiled(self, n, f, channels):
         from bikg_graph_explainability_public_tpu.models.fast_gcn import (
             FastBatchedGCN,
         )
 
-        feat, ei, _ = make_graph(n=120, f=16, e=500, seed=71)
+        feat, ei, _ = make_graph(n=n, f=f, e=4 * n, seed=71)
         g = from_arrays(feat, ei)
-        mdef = px.GCNNodeModel(16, conv_channels=(32, 32), fc_channels=(32, 16))
+        mdef = px.GCNNodeModel(
+            f, conv_channels=channels, fc_channels=(channels[-1], 16)
+        )
         params = mdef.init(jax.random.PRNGKey(0))
         rng = np.random.default_rng(2)
         masks = jnp.asarray(rng.random((16, g.n_pad)) > 0.3)
