@@ -47,10 +47,12 @@ def _pick_tile_aligned(n: int, target: int) -> int:
     """N-tile choice whose in-kernel slice offsets Mosaic can prove aligned.
 
     ``s_ref``/``xw_ref`` are sliced at ``i_n * tn`` inside the kernel; lane
-    offsets must be 128-multiples and sublane offsets 8-multiples, so pick the
-    largest divisor of n that is <= target AND a multiple of 128.  When none
-    exists (small or odd n) fall back to tn = n: a single n-step means every
-    slice offset is 0, which is always aligned.
+    offsets must be 128-multiples, so pick the largest divisor of n that is
+    <= target AND a multiple of 128.  Callers pad n to a 128-multiple first
+    (``_round_up(n, 128)``) so such a divisor always exists — a tn that is
+    merely *equal* to an unaligned n is not enough: Mosaic cannot statically
+    prove ``i_n * tn`` is a 128-multiple even when the grid has one n-step
+    (the r2 regression: vector.load of 1x120xf32 at n=120).
     """
     for t in range(min(target, n), 0, -1):
         if n % t == 0 and t % 128 == 0:
@@ -158,6 +160,18 @@ def masked_gcn_layer(
     if c != c0:
         xw = jnp.pad(xw, ((0, 0), (0, c - c0)))
         bias = jnp.pad(bias, (0, c - c0))
+    # the node dim must also be lane-aligned: in-kernel slices along N
+    # (``s_ref[t, pl.ds(i_n*tn, tn)]``) need provably-128-multiple offsets
+    # AND widths, so N pads to 128 and the padded rows (zero adjacency,
+    # zero scalings) are sliced off the output
+    n0 = n
+    n = _round_up(n0, 128)
+    if n != n0:
+        dn = n - n0
+        s = jnp.pad(s, ((0, 0), (0, dn)))
+        self_w = jnp.pad(self_w, ((0, 0), (0, dn)))
+        adj_bf16 = jnp.pad(adj_bf16, ((0, dn), (0, dn)))
+        xw = jnp.pad(xw, ((0, dn), (0, 0)))
     tb = 8 if b % 8 == 0 else _pick_tile(b, 8)
     tn = _pick_tile_aligned(n, 256)
     grid = (b // tb, n // tn)
@@ -184,7 +198,7 @@ def masked_gcn_layer(
         ),
         interpret=_interpret(),
     )(s, self_w, adj_bf16, xw, bias.reshape(1, c))
-    return out[:b0, :, :c0]
+    return out[:b0, :n0, :c0]
 
 
 @functools.partial(jax.jit, static_argnames=("apply_relu",))
@@ -210,6 +224,15 @@ def masked_gcn_layer_batched(
     if c != c0:
         w_t = jnp.pad(w_t, ((0, 0), (0, c - c0)))
         bias = jnp.pad(bias, (0, c - c0))
+    # lane-align the node dim (see masked_gcn_layer)
+    n0 = n
+    n = _round_up(n0, 128)
+    if n != n0:
+        dn = n - n0
+        s = jnp.pad(s, ((0, 0), (0, dn)))
+        self_w = jnp.pad(self_w, ((0, 0), (0, dn)))
+        adj_bf16 = jnp.pad(adj_bf16, ((0, dn), (0, dn)))
+        h = jnp.pad(h, ((0, 0), (0, dn), (0, 0)))
     tb = 8 if b % 8 == 0 else _pick_tile(b, 8)
     tn = _pick_tile_aligned(n, 256)
     grid = (b // tb, n // tn)
@@ -237,4 +260,4 @@ def masked_gcn_layer_batched(
         ),
         interpret=_interpret(),
     )(s, self_w, adj_bf16, h, w_t, bias.reshape(1, c))
-    return out[:b0, :, :c0]
+    return out[:b0, :n0, :c0]

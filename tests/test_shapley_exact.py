@@ -64,10 +64,12 @@ class TestExactShapley:
         b = (z * kw[:, None]).T @ outputs.astype(np.float64)
         w_exact = np.linalg.solve(a + 1e-12 * np.eye(s_el), b)
 
-        # pipeline at converged budget, regularisation off
-        cfg = {"seed": 0, "interpret_samples": 100, "epochs": 600,
+        # pipeline at converged budget, regularisation off (400 samples x 4
+        # repeats: corr 0.994 measured; 100x2 sat at 0.94, inside estimator
+        # noise of the 0.95 gate and flaky across RNG-stream changes)
+        cfg = {"seed": 0, "interpret_samples": 400, "epochs": 600,
                "lr": 0.02, "l1_lambda": 0.0, "weight_decay": 0.0}
-        df, _ = px.Explainer(feat, ei, model, cfg, names).run("10", times=2)
+        df, _ = px.Explainer(feat, ei, model, cfg, names).run("10", times=4)
         w_est = df.sort_index().loc[
             [names[i] for i in sorted(np.asarray(sub.parent_nodes[:s_el]))]
         ]
