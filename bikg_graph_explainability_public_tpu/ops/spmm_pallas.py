@@ -4,34 +4,36 @@
 (:class:`.ell.NeighborTable`) — the role torch-scatter/torch-sparse play for
 the reference (``/root/reference/dev_setup.sh:6-8``).
 
-Design (measured on v5e, see ``benchmarks/exp_spmm_kernels.py`` +
-``docs/spmm_kernel.md``):
+Design (measured on v5e, see ``benchmarks/`` + ``docs/spmm_kernel.md``):
 
-* XLA's batched gather+segment-sum runs at ~82 GB/s effective on 1M random
-  4 KB rows; a Pallas kernel issuing one HBM->VMEM DMA per row sustains
-  ~18 ns/DMA (~55 M rows/s), i.e. ~220 GB/s at 4 KB rows and approaching
-  HBM speed-of-light as rows widen.  The crossover is the row payload: at
-  W >= ~512 floats the DMA gather wins; below that XLA's gather does.
-  The framework's batched hot shape — layer>=2 aggregation over
-  batch-contiguous ``[N, B*F]`` rows (``models/fast_gcn.py``) — sits well
-  above the crossover.
-* Grid over row blocks of TR rows, sequential on core.  Per block the
-  **compact DMA plan** lists the block's real slots contiguously
-  (``src`` node id + ``dst`` slot position, built host-side once per
-  table): full chunks of G DMAs issue with *zero* per-slot branching and
-  only the tail chunk predicates per slot.  A per-slot ``@pl.when`` over
-  the padded table costs ~30 ns of scalar work per slot and was measured
-  to *double* total time — ELL padding must cost VMEM, never issue rate.
-* The weighted reduction over K is one vectorized VPU pass in the padded
-  positional layout (no scatter — receivers are implicit).  Slots that were
-  never DMA'd hold stale bits; a ``where(w != 0)`` select (not a multiply)
-  zeroes them even if the stale bits are non-finite.
-* Feature rows are viewed as ``[N, W/128, 128]`` so single-row HBM slices
-  are whole (sublane, lane) tiles for any W multiple of 128.
+* Random single-row gathers are bounded by DMA *issue rate* (~18 ns of
+  scalar work per copy), not HBM bandwidth; a per-slot ``@pl.when`` over
+  the padded table doubles that, so a **compact DMA plan** (host-built,
+  real slots listed contiguously per row block) issues full chunks of G
+  copies with zero per-slot branching and only predicates the tail.
+* The kernel is **double-buffered across row blocks**: at grid step i the
+  scalar core first drains block i's row DMAs, then issues block i+1's
+  into the other gather-buffer slot, and only then reduces block i — so
+  HBM transfers overlap both the reduce and the next issue loop.  Above
+  ~16 KB rows the transfer time exceeds the issue time and the kernel
+  crosses from issue-bound to bandwidth-bound.
+* Two reduction modes over the K axis:
+  - **static** (separable weights, one weight per slot): a block-diagonal
+    MXU matmul — ``W[TR, TR*K] @ gbuf[TR*K, W]`` where W holds the slot
+    weights on its block diagonal (built in-register from two iotas).
+    ~10x the VPU pass it replaces; the gather buffer is zeroed once at
+    step 0 so never-DMA'd slots contribute exact zeros (0 * stale-NaN
+    through the MXU would poison the sum).
+  - **weighted** (per-slot per-sample weights): the vectorized VPU
+    select-reduce in the padded positional layout (receivers implicit,
+    ``where(w != 0)`` zeroes stale slots even if non-finite).
+* Feature rows are dtype-generic (f32 or bf16) and viewed as
+  ``[N, W/128, 128]`` so single-row HBM slices are whole (sublane, lane)
+  planes; bf16 rows halve bytes per issued copy.
 
-``spmm_ell_pallas`` is the raw kernel; ``batched_gather_sum`` is the
-backend entry used by :func:`.spmm.weighted_gather_sum_batched` when the
-``pallas`` backend is selected (see ``config.spmm_backend``).
+``spmm_ell_pallas`` is the raw kernel; ``batched_gather_sum`` (weighted)
+and ``gather_sum_static`` (separable) are the backend entries used by
+:mod:`.spmm` when the ``pallas`` backend is selected.
 """
 
 from __future__ import annotations
@@ -49,20 +51,20 @@ from jax.experimental.pallas import tpu as pltpu
 #: measured crossover (v5e): below this row width XLA's gather wins
 MIN_PALLAS_WIDTH = 512
 
-#: VMEM budget for the gather scratch (bytes)
+#: VMEM budget for EACH of the two gather-scratch slots (bytes)
 _GBUF_BYTES = 8 * 1024 * 1024
 
-#: DMA chunk size (outstanding copies per double-buffer slot)
+#: DMA chunk size (copies per unrolled issue group / semaphore lane)
 _G = 32
 
 
 class CompactPlan(NamedTuple):
     """Host-built compact DMA plan for one (NeighborTable, TR) pair.
 
-    src:  [NB * TR*K] int32 — source node id per issued DMA, block-compact
-          (block i's real slots occupy the front of its [i*TRK, (i+1)*TRK)
-          range; the rest is unused padding)
-    dst:  [NB * TR*K] int32 — destination slot position within the block's
+    src:  [NB, TR*K] int32 — source node id per issued DMA, block-compact
+          (block i's real slots occupy the front of row i; the rest is
+          unused padding)
+    dst:  [NB, TR*K] int32 — destination slot position within the block's
           [TR*K] gather buffer
     cnt:  [NB] int32 — real slots per block
     tr:   rows per block (static)
@@ -77,9 +79,16 @@ class CompactPlan(NamedTuple):
     tr: int
 
 
-def _pick_tr(k: int, w_width: int) -> int:
-    tr = _GBUF_BYTES // max(k * w_width * 4, 1)
-    tr = (tr // 8) * 8
+def _pick_tr(k: int, row_bytes: int) -> int:
+    """Rows per block: fills one gather slot, subject to (a) TR*K being a
+    128-multiple (the [1, TR*K] static-weight block's lane dim and the MXU
+    contraction) and (b) TR % 8 == 0 (output block sublanes).  K is padded
+    to a multiple of 8, so the step is lcm(8, 128 / gcd(K, 128))."""
+    import math
+
+    step = max(8, 128 // math.gcd(k, 128))
+    tr = _GBUF_BYTES // max(k * row_bytes, 1)
+    tr = (tr // step) * step
     return max(min(tr, 64), 0)
 
 
@@ -106,130 +115,185 @@ def build_compact_plan(
         src[i, :c] = nbb[i][slots]
         dst[i, :c] = slots
         cnt[i] = c
-    return CompactPlan(
-        src=src.reshape(-1), dst=dst.reshape(-1), cnt=cnt, tr=tr
-    )
+    return CompactPlan(src=src, dst=dst, cnt=cnt, tr=tr)
 
 
-def _kernel(cnt_ref, src_hbm, dst_hbm, w_ref, x_hbm, out_ref,
-            src_smem, dst_smem, gbuf, idx_sems, sems,
-            *, tr, k, b, f, g, wb):
-    ib = pl.program_id(0)
+def _kernel(cnt_ref, src_ref, dst_ref, w_ref, x_hbm, out_ref,
+            gbuf, sems, *, tr, k, b, f, g, wb, mxu):
+    """One grid step ``s`` of NB+1: ISSUE block s's row DMAs (its plan
+    indices are this step's SMEM block), then WAIT + REDUCE block s-1 (whose
+    DMAs were issued at step s-1 and transferred during it).  The schedule is
+    shifted by one step so HBM transfers always overlap a full step of
+    scalar issue work + reduce — the cross-block double buffer."""
+    s = pl.program_id(0)
+    nb = pl.num_programs(0) - 1
     rows = tr * k
-    src_dma = pltpu.make_async_copy(
-        src_hbm.at[pl.ds(ib * rows, rows)], src_smem, idx_sems.at[0]
-    )
-    dst_dma = pltpu.make_async_copy(
-        dst_hbm.at[pl.ds(ib * rows, rows)], dst_smem, idx_sems.at[1]
-    )
-    src_dma.start()
-    dst_dma.start()
-    src_dma.wait()
-    dst_dma.wait()
 
-    cnt = cnt_ref[ib]
-    nch = cnt // g  # full chunks; tail handled separately
-
-    def row_dma(rr, j, slot):
+    def start_dma(slot, rr):
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(src_smem[rr], 1)],
-            gbuf.at[pl.ds(dst_smem[rr], 1)],
-            sems.at[slot, j],
+            x_hbm.at[pl.ds(src_ref[0, 0, rr], 1)],
+            gbuf.at[slot, pl.ds(dst_ref[0, 0, rr], 1)],
+            sems.at[slot],
         )
 
-    def start_chunk(ci):
-        base = ci * g
-        slot = ci % 2
-        for j in range(g):
-            row_dma(base + j, j, slot).start()
-
-    def wait_chunk(ci):
-        base = ci * g
-        slot = ci % 2
-        for j in range(g):
-            row_dma(base + j, j, slot).wait()
-
-    @pl.when(nch > 0)
+    # 1. issue block s's row DMAs into gather slot s%2, ALL on the slot's
+    #    one semaphore (DMA semaphores count bytes, so the drain below can
+    #    consume whole chunks with single aggregated waits)
+    @pl.when(s < nb)
     def _():
-        start_chunk(0)
+        if mxu:
+            # never-DMA'd slots flow through the matmul: 0 * uninitialised-
+            # NaN would poison it, so zero both slots once (afterwards stale
+            # slots hold the previous block's finite rows)
+            @pl.when(s == 0)
+            def _():
+                gbuf[0] = jnp.zeros_like(gbuf[0])
+                gbuf[1] = jnp.zeros_like(gbuf[1])
 
-    def body(ci, _):
-        @pl.when(ci + 1 < nch)
-        def _():
-            start_chunk(ci + 1)
+        slot = jax.lax.rem(s, 2)
+        cnt = cnt_ref[s]
+        nch = cnt // g
 
-        wait_chunk(ci)
-        return 0
+        def body(ci, _):
+            base = ci * g
+            for j in range(g):
+                start_dma(slot, base + j).start()
+            return 0
 
-    jax.lax.fori_loop(0, nch, body, 0, unroll=False)
+        jax.lax.fori_loop(0, nch, body, 0, unroll=False)
+        tail = nch * g
+        for j in range(g):
+            @pl.when(tail + j < cnt)
+            def _():
+                start_dma(slot, tail + j).start()
 
-    # tail: per-slot predication is confined to < G slots per block
-    tail_base = nch * g
-    for j in range(g):
-        @pl.when(tail_base + j < cnt)
-        def _():
-            row_dma(tail_base + j, j, 0).start()
+    # 2. drain + reduce block s-1 from the other slot.  A wait consumes
+    #    (semaphore, descriptor size) only — offsets are irrelevant — so the
+    #    drain uses g-row descriptors: one scalar wait per CHUNK instead of
+    #    per row (per-row start+wait scalar work is the kernel's roofline;
+    #    this halves it)
+    @pl.when(s >= 1)
+    def _():
+        slot = jax.lax.rem(s - 1, 2)
+        cnt = cnt_ref[s - 1]
+        nch = cnt // g
 
-    for j in range(g):
-        @pl.when(tail_base + j < cnt)
-        def _():
-            row_dma(tail_base + j, j, 0).wait()
+        def wait_rows(r):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(0, r)],
+                gbuf.at[slot, pl.ds(0, r)],
+                sems.at[slot],
+            )
 
-    # one vectorized weighted reduce over the K axis.  Never-DMA'd slots
-    # hold stale (possibly non-finite) bits; the select — not a multiply —
-    # guarantees they contribute exact zeros.  ``wb == 1`` is the static-
-    # weight (separable) mode: one weight per slot broadcast over samples.
-    g4 = gbuf[:].reshape(tr, k, b, f)
-    wk = w_ref[:].reshape(tr, k, wb)[:, :, :, None]
-    msg = jnp.where(wk != 0.0, wk * g4, 0.0)
-    out_ref[:] = msg.sum(axis=1).reshape(tr, b * f)
+        jax.lax.fori_loop(0, nch, lambda ci, _: (wait_rows(g).wait(), 0)[1],
+                          0, unroll=False)
+        tail = nch * g
+        for j in range(g):
+            @pl.when(tail + j < cnt)
+            def _():
+                wait_rows(1).wait()
+        if mxu:
+            # block-diagonal MXU reduce: W[t, j] = w[j] where j // K == t
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (tr, rows), 0)
+            seg_ids = jax.lax.broadcasted_iota(jnp.int32, (tr, rows), 1) // k
+            wrow = jnp.broadcast_to(w_ref[0], (tr, rows))
+            g2 = gbuf[slot].reshape(rows, b * f)
+            wmat = jnp.where(seg_ids == row_ids, wrow, 0.0).astype(g2.dtype)
+            # DEFAULT precision: on TPU an f32 dot runs as single-pass bf16
+            # with f32 accumulation (~2e-3 rel err, same class as the bf16
+            # production forwards).  HIGHEST would 6x the MXU passes and the
+            # block-diagonal form already carries a TR-fold FLOP redundancy —
+            # measured MXU-bound at 53 ms vs 20 ms for the whole kernel.
+            out_ref[:] = jnp.dot(wmat, g2, preferred_element_type=jnp.float32)
+        else:
+            # vectorized VPU select-reduce; the select (not a multiply)
+            # zeroes never-DMA'd slots even when stale bits are non-finite
+            g4 = gbuf[slot].reshape(tr, k, b, f)
+            wk = w_ref[:].reshape(tr, k, wb)[:, :, :, None]
+            msg = jnp.where(wk != 0.0, wk * g4.astype(jnp.float32), 0.0)
+            out_ref[:] = msg.sum(axis=1).reshape(tr, b * f)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tr", "b", "interpret")
+    jax.jit, static_argnames=("k", "tr", "b", "n", "interpret")
 )
 def spmm_ell_pallas(
     plan_src: jax.Array,   # CompactPlan.src
     plan_dst: jax.Array,   # CompactPlan.dst
     plan_cnt: jax.Array,   # CompactPlan.cnt
-    w_slot: jax.Array,     # [N, K, B] float32 per-slot per-sample weights
-    feats: jax.Array,      # [N_src, W] float32, W = B*F, W % 128 == 0
+    w_slot: jax.Array,     # [N, K, B] per-slot per-sample weights, or
+                           # [NB, TR*K] static per-slot weights (MXU mode)
+    feats: jax.Array,      # [N_src, W] f32 or bf16, W = B*F, W % 128 == 0
     k: int,
     tr: int,
     b: int = 1,
+    n: Optional[int] = None,
     interpret: bool = False,
-) -> jax.Array:            # [N, W]
+) -> jax.Array:            # [N, W] f32
     """Blocked-ELL SpMM kernel: out[v] = sum_k w[v,k] * feats[nbr[v,k]]."""
-    n = w_slot.shape[0]
+    mxu = w_slot.ndim == 2
     w_width = feats.shape[1]
     f = w_width // b
-    wb = w_slot.shape[2]  # b, or 1 in static/separable mode
-    n_pad = -(-n // tr) * tr
-    if n_pad != n:
-        w_slot = jnp.pad(w_slot, ((0, n_pad - n), (0, 0), (0, 0)))
+    rows = tr * k
+    if mxu:
+        if n is None:
+            raise ValueError("static (2D-weight) mode requires n")
+        nb_blocks, rows_w = w_slot.shape
+        assert rows_w == rows
+        n_pad = nb_blocks * tr
+        wb = 1
+        w_block = (1, 1, rows)
+        w_arg = w_slot.reshape(nb_blocks, 1, rows)
+    else:
+        n = w_slot.shape[0]
+        wb = w_slot.shape[2]  # b, or 1 in broadcast mode
+        n_pad = -(-n // tr) * tr
+        if n_pad != n:
+            w_slot = jnp.pad(w_slot, ((0, n_pad - n), (0, 0), (0, 0)))
+        nb_blocks = n_pad // tr
+        w_block = (rows, wb)
+        w_arg = w_slot.reshape(n_pad * k, wb)
     g = _G
-    while (tr * k) % g:
+    while rows % g:
         g //= 2
-    kern = functools.partial(_kernel, tr=tr, k=k, b=b, f=f, g=g, wb=wb)
+    kern = functools.partial(
+        _kernel, tr=tr, k=k, b=b, f=f, g=g, wb=wb, mxu=mxu
+    )
     x3 = feats.reshape(feats.shape[0], w_width // 128, 128)
+    gbuf_bytes = 2 * rows * w_width * feats.dtype.itemsize
+    last = nb_blocks - 1
+    # the grid runs NB+1 steps: step s issues block s's DMAs (plan indices
+    # pipelined into SMEM this step) and reduces block s-1.  Index maps are
+    # therefore shifted: plan blocks lead by 0, weight/output blocks trail
+    # by 1 (clamped at the edges; the step-0 output block is written at
+    # step 1 — Pallas keeps revisited blocks resident).
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_pad // tr,),
+        grid=(nb_blocks + 1,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # src (flat, HBM)
-            pl.BlockSpec(memory_space=pl.ANY),  # dst (flat, HBM)
-            pl.BlockSpec((tr * k, wb), lambda i, c: (i, 0),
-                         memory_space=pltpu.VMEM),  # w_slot
+            # plan blocks are [NB, 1, TR*K] so the (1, 1, TR*K) block's last
+            # two dims equal the array's (the Pallas block-shape rule)
+            pl.BlockSpec((1, 1, rows),
+                         lambda s, c: (jnp.minimum(s, last), 0, 0),
+                         memory_space=pltpu.SMEM),  # plan src
+            pl.BlockSpec((1, 1, rows),
+                         lambda s, c: (jnp.minimum(s, last), 0, 0),
+                         memory_space=pltpu.SMEM),  # plan dst
+            pl.BlockSpec(
+                w_block,
+                (lambda s, c: (jnp.maximum(s - 1, 0), 0, 0))
+                if mxu
+                else (lambda s, c: (jnp.maximum(s - 1, 0), 0)),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pl.ANY),  # feats (HBM)
         ],
-        out_specs=pl.BlockSpec((tr, w_width), lambda i, c: (i, 0),
+        out_specs=pl.BlockSpec((tr, w_width),
+                               lambda s, c: (jnp.maximum(s - 1, 0), 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((tr * k,), jnp.int32),
-            pltpu.SMEM((tr * k,), jnp.int32),
-            pltpu.VMEM((tr * k, w_width // 128, 128), jnp.float32),
+            pltpu.VMEM((2, rows, w_width // 128, 128), feats.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, g)),
         ],
     )
     out = pl.pallas_call(
@@ -237,10 +301,16 @@ def spmm_ell_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, w_width), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(_GBUF_BYTES * 1.8) + 8 * 1024 * 1024,
+            vmem_limit_bytes=gbuf_bytes + 32 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(plan_cnt, plan_src, plan_dst, w_slot.reshape(n_pad * k, wb), x3)
+    )(
+        plan_cnt,
+        plan_src.reshape(nb_blocks, 1, rows),
+        plan_dst.reshape(nb_blocks, 1, rows),
+        w_arg,
+        x3,
+    )
     return out[:n]
 
 
@@ -265,10 +335,10 @@ def _cache_by_identity(cache: dict, anchor, key_extra: tuple, build):
     return val
 
 
-def plan_for_table(table, w_width: int) -> Optional[CompactPlan]:
+def plan_for_table(table, w_width: int, itemsize: int = 4) -> Optional[CompactPlan]:
     """CompactPlan for a NeighborTable at the given row payload (cached by
     table identity; returns None when K blows the VMEM budget)."""
-    tr = _pick_tr(table.k, w_width)
+    tr = _pick_tr(table.k, w_width * itemsize)
     if tr == 0:
         return None
     return _cache_by_identity(
@@ -294,7 +364,7 @@ def batched_gather_sum(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if plan is None:
-        plan = plan_for_table(table, feats.shape[1])
+        plan = plan_for_table(table, feats.shape[1], feats.dtype.itemsize)
     if plan is None:
         raise ValueError(
             f"K={table.k} too large for the VMEM gather scratch"
@@ -323,23 +393,36 @@ def gather_sum_static(
     feature rows by ``a`` before and the outputs after, and aggregate with
     the table's static validity only.  This removes the per-call
     ``edge_weight[table.eid]`` re-index — a 3.2M-tiny-row gather measured at
-    ~20 ms on the 100k/1M workload, ~35%% of the weighted path's total.
+    ~20 ms on the 100k/1M workload, ~35%% of the weighted path's total —
+    and unlocks the block-diagonal MXU reduce (static weights live on the
+    block diagonal of one [TR, TR*K] matrix per row block).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if plan is None:
-        plan = plan_for_table(table, feats.shape[1])
+        plan = plan_for_table(table, feats.shape[1], feats.dtype.itemsize)
     if plan is None:
         raise ValueError(f"K={table.k} too large for the VMEM gather scratch")
-    # NUMPY on purpose: built once per table, passed as a jit argument;
-    # a traced slice cached here would leak across traces
-    w1 = _cache_by_identity(
+    n = table.nbr.shape[0]
+    # NUMPY on purpose: built once per (table, tr), passed as a jit argument;
+    # a traced slice cached here would leak across traces.  Layout: the MXU
+    # mode's [NB, TR*K] block-compact static weights.
+    w2 = _cache_by_identity(
         _STATIC_WSLOT_CACHE,
         table.valid,
-        (),
-        lambda: np.asarray(table.valid)[:, :, None].astype(np.float32),
+        (plan.tr,),
+        lambda: _static_weights(np.asarray(table.valid), plan.tr),
     )
     return spmm_ell_pallas(
-        plan.src, plan.dst, plan.cnt, w1, feats,
-        k=table.k, tr=plan.tr, b=b, interpret=interpret,
+        plan.src, plan.dst, plan.cnt, w2, feats,
+        k=table.k, tr=plan.tr, b=b, n=n, interpret=interpret,
     )
+
+
+def _static_weights(valid: np.ndarray, tr: int) -> np.ndarray:
+    """[NB, TR*K] f32 slot-validity weights in the MXU block layout."""
+    n, k = valid.shape
+    n_pad = -(-n // tr) * tr
+    v = np.zeros((n_pad, k), np.float32)
+    v[:n] = valid
+    return v.reshape(n_pad // tr, tr * k)
