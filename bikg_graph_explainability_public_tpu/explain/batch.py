@@ -89,6 +89,17 @@ def _filter_pathways_to_subgraph(
     return sub_inds, kept_names
 
 
+def _seed_nodes(graph, queries, problem):
+    """BFS seed node per query: the query itself for node/graph problems,
+    the query edge's RECEIVER for edge problems (its prediction is what the
+    masked forwards read — the reference reuses the edge index as a node id,
+    ``data.py:358-359``; fixed by design, see Explainer.run)."""
+    if "edge" not in problem:
+        return [int(q) for q in queries]
+    rcv = host_view(graph).receivers
+    return [int(rcv[int(q)]) for q in queries]
+
+
 def _pathways_as_global_ids(
     pathways, names_arr: np.ndarray
 ) -> List[np.ndarray]:
@@ -157,7 +168,7 @@ class _Stack:
         else:
             subs = [
                 extract_khop_subgraph(graph, int(q), n_hops, host_only=True)
-                for q in queries
+                for q in queries  # already seed NODES (see _seed_nodes)
             ]
         n_pad = max(round_up_pow2(s.graph.num_nodes) for s in subs)
         e_pad = max(max(round_up_pow2(s.graph.num_edges), 8) for s in subs)
@@ -588,9 +599,10 @@ def explain_many(
             pathways, pathway_names, problem,
         )
 
+    seeds = _seed_nodes(graph, queries, problem)
     subs = [
-        extract_khop_subgraph(graph, int(q), n_hops, host_only=True)
-        for q in queries
+        extract_khop_subgraph(graph, s, n_hops, host_only=True)
+        for s in seeds
     ]
     buckets: dict = {}
     for i, s in enumerate(subs):
@@ -678,7 +690,7 @@ def _explain_many_stacked(
         )
     n_hops = model_def.num_hops + 1
 
-    st = _Stack(graph, queries, n_hops,
+    st = _Stack(graph, _seed_nodes(graph, queries, problem), n_hops,
                 need_edges=not dense and not hetero_dense, typed=typed,
                 full_graph=is_graph, subs=subs,
                 rel_model=model_def if hetero_dense else None)

@@ -251,10 +251,20 @@ class Explainer:
             relations = hetero_info.num_relations if hetero_info else 0
             n_hops = self.model.get_hops(relations)
             ind = self._query_index(element, names, hetero_info)
+            # edge queries seed the BFS at the query edge's RECEIVER node
+            # (its prediction is what the masked forwards read).  The
+            # reference instead reuses the edge index as a node id
+            # (``data.py:358-359`` — its edge path is broken end-to-end,
+            # SURVEY §7.3); fixed by design here.
+            seed = ind
+            if "edge" in self.problem:
+                from ..graph import host_view
+
+                seed = int(host_view(graph).receivers[ind])
             # one extra hop, mirroring the reference (data.py:328)
             sub = extract_khop_subgraph(
                 graph,
-                ind,
+                seed,
                 n_hops + 1,
                 pad_mode=self.params.get("pad_mode", "pow2") or "pow2",
             )

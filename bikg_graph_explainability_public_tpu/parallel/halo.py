@@ -330,6 +330,149 @@ def halo_masked_outputs(
     )
 
 
+def halo_masked_outputs_hetero(
+    model_def,
+    params,
+    x: jax.Array,
+    masks: jax.Array,
+    part: HaloPartition,
+    mesh: Mesh,
+    etype_loc: jax.Array,  # [D, E_loc] int32 — edge type per local edge slot
+    scope_loc: jax.Array,  # [D, R, n_local] f32 — dst-type scope per relation
+    problem: str = "node_prediction",
+    query: int | None = None,
+    axis: str = "data",
+    num_nodes: int | None = None,
+) -> jax.Array:
+    """Batched perturbed outputs for :class:`..models.gnn.HeteroGNN` (all-
+    GCNConv convs) over the halo partition.
+
+    Per-relation semantics match the single-chip ``HeteroGNN.backbone``
+    exactly: each relation carries its own masked degree with the self-loop
+    scoped to the relation's destination node type (PyG ``HeteroConv``
+    ``aggr='sum'``).  Communication per layer stays ONE ``all_to_all`` of
+    boundary activation rows: the halo buffer ships the *untransformed*
+    activations and each device applies every relation's weight to its own
+    local+halo rows (transform cost is O(n_local + D*halo), the exchange
+    volume is relation-independent).  The R per-relation normalisation
+    vectors are stacked into a single exchange as well.
+    """
+    n_local = part.n_local
+    is_edge = "edge" in problem
+    is_graph = "graph" in problem
+    if is_graph:
+        q_dev, q_loc = 0, 0
+    else:
+        q_dev, q_loc = divmod(int(query), n_local)
+    nn = part.n_total if num_nodes is None else int(num_nodes)
+    rels = model_def.relations
+    nrel = len(rels)
+
+    mask_spec = P() if is_edge else P(None, axis)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), mask_spec, P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis), P(axis)),
+        out_specs=P(),
+    )
+    def run(x_loc, m_loc, send_idx, slot, rcv, eid, valid, etl, scl):
+        sidx, slot0, rcv0 = send_idx[0], slot[0], rcv[0]
+        et0, sc0 = etl[0], scl[0]  # [E_loc], [R, n_local]
+        is_self = (slot0 == rcv0) & (slot0 < n_local)
+        if is_edge:
+            b = m_loc.shape[0]
+            w_base = valid[0][:, None] * m_loc.astype(jnp.float32).T[eid[0]]
+        else:
+            mt = m_loc.astype(jnp.float32).T  # [n_local, B]
+            b = mt.shape[1]
+            m_buf = _exchange(mt, sidx, axis)
+            w_base = valid[0][:, None] * m_buf[slot0] * mt[rcv0]
+        w_base = jnp.where(is_self[:, None], 0.0, w_base)  # [E_loc, B]
+
+        # per-relation masked degrees with relation-scoped self-loops
+        rel_sel = jnp.stack(
+            [(et0 == ri).astype(jnp.float32) for ri in range(nrel)]
+        )  # [R, E_loc]
+        w_rel = rel_sel[:, :, None] * w_base[None]  # [R, E_loc, B]
+        deg = sc0[:, :, None] + jax.vmap(
+            lambda w: jax.ops.segment_sum(w, rcv0, num_segments=n_local)
+        )(w_rel)  # [R, n_local, B]
+        dis = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-30)), 0.0)
+        # one exchange for all relations' normalisation vectors
+        dis_flat = jnp.transpose(dis, (1, 0, 2)).reshape(n_local, nrel * b)
+        dis_buf = _exchange(dis_flat, sidx, axis).reshape(-1, nrel, b)
+        norm_e = (
+            w_rel * jnp.transpose(dis_buf[slot0], (1, 0, 2)) * dis[:, rcv0]
+        )  # [R, E_loc, B]
+        self_w = sc0[:, :, None] * dis * dis  # [R, n_local, B]
+
+        h = None  # [n_local, B, C]
+        for li, (layer, lp) in enumerate(
+            zip(model_def.conv_layers, params["conv"])
+        ):
+            if li == 0:
+                c_in = next(iter(layer.values())).in_features
+                buf = _exchange(x_loc[:, :c_in], sidx, axis)  # [rows, c_in]
+                out = None
+                for ri, (rel, conv) in enumerate(layer.items()):
+                    p = lp["__".join(rel)]
+                    hw_full = buf @ p["weight"].T  # [rows, C]
+                    msg = hw_full[slot0][:, None, :] * norm_e[ri][:, :, None]
+                    agg = jax.ops.segment_sum(
+                        msg.reshape(-1, b * hw_full.shape[-1]), rcv0,
+                        num_segments=n_local,
+                    ).reshape(n_local, b, -1)
+                    contrib = agg + self_w[ri][:, :, None] * hw_full[
+                        :n_local, None, :
+                    ]
+                    if "bias" in p:
+                        contrib = contrib + p["bias"] * sc0[ri][:, None, None]
+                    out = contrib if out is None else out + contrib
+            else:
+                c_in = next(iter(layer.values())).in_features
+                c_prev = h.shape[-1]
+                buf = _exchange(
+                    h.reshape(n_local, b * c_prev), sidx, axis
+                ).reshape(-1, b, c_prev)[..., :c_in]
+                out = None
+                for ri, (rel, conv) in enumerate(layer.items()):
+                    p = lp["__".join(rel)]
+                    hw_full = jnp.einsum(
+                        "nbc,gc->nbg", buf, p["weight"],
+                        preferred_element_type=jnp.float32,
+                    )  # [rows, B, C]
+                    c = hw_full.shape[-1]
+                    msg = hw_full[slot0] * norm_e[ri][:, :, None]
+                    agg = jax.ops.segment_sum(
+                        msg.reshape(-1, b * c), rcv0, num_segments=n_local
+                    ).reshape(n_local, b, c)
+                    contrib = agg + self_w[ri][:, :, None] * hw_full[:n_local]
+                    if "bias" in p:
+                        contrib = contrib + p["bias"] * sc0[ri][:, None, None]
+                    out = contrib if out is None else out + contrib
+            h = jax.nn.relu(out)
+
+        my_dev = jax.lax.axis_index(axis)
+        if is_graph:
+            out_nodes = model_def.head(params, h)[..., 0]  # [n_local, B]
+            row_ok = (
+                my_dev * n_local + jnp.arange(n_local) < nn
+            ).astype(jnp.float32)
+            pooled = (out_nodes * row_ok[:, None]).sum(0)
+            return jax.lax.psum(pooled, axis) / float(nn)
+        hq = jnp.where(my_dev == q_dev, 1.0, 0.0) * h[q_loc]
+        out = model_def.head(params, hq)[:, 0]
+        out = jnp.where(my_dev == q_dev, out, 0.0)
+        return jax.lax.psum(out, axis)
+
+    return run(
+        x, masks, part.send_idx, part.edge_slot, part.edge_rcv, part.edge_id,
+        part.edge_valid, etype_loc, scope_loc,
+    )
+
+
 def halo_masked_query_outputs(
     model_def,
     params,

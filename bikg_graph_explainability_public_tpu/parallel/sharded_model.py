@@ -28,8 +28,23 @@ from jax.sharding import Mesh
 
 from ..graph import Graph
 from ..models.adapter import Model
-from ..models.gnn import GCNNodeModel
-from .halo import build_halo_partition, halo_masked_outputs, pad_nodes
+from ..models.gnn import GCNNodeModel, HeteroGNN
+from .halo import (
+    build_halo_partition,
+    halo_masked_outputs,
+    halo_masked_outputs_hetero,
+    pad_nodes,
+)
+
+
+def _is_gcn_hetero(model_def) -> bool:
+    from ..models.layers import GCNConv
+
+    return isinstance(model_def, HeteroGNN) and all(
+        isinstance(c, GCNConv)
+        for layer in model_def.conv_layers
+        for c in layer.values()
+    )
 
 
 class ShardedModel(Model):
@@ -62,7 +77,24 @@ class ShardedModel(Model):
         rcv = np.asarray(graph.receivers)[: graph.num_edges]
         part = build_halo_partition(snd, rcv, graph.n_pad, self.n_devices)
         x = pad_nodes(np.asarray(graph.x), part)
-        entry = (part, x)
+        hetero = None
+        if _is_gcn_hetero(self.model_def):
+            d = part.n_devices
+            # edge type per local edge slot (padding slots gather edge 0 but
+            # every use is multiplied by edge_valid)
+            et = np.asarray(graph.edge_type)
+            etype_loc = et[np.asarray(part.edge_id)].astype(np.int32)
+            nt = np.zeros((part.n_total,), np.int32)
+            nt[: graph.n_pad] = np.asarray(graph.node_type)
+            nmask = np.zeros((part.n_total,), bool)
+            nmask[: graph.n_pad] = np.asarray(graph.node_mask)
+            rels = self.model_def.relations
+            scope = np.zeros((d, len(rels), part.n_local), np.float32)
+            for ri, rel in enumerate(rels):
+                dt = self.model_def.node_type_names.index(rel[-1])
+                scope[:, ri, :] = ((nt == dt) & nmask).reshape(d, part.n_local)
+            hetero = (jnp.asarray(etype_loc), jnp.asarray(scope))
+        entry = (part, x, hetero)
         self._halo_cache = (graph, entry)
         return entry
 
@@ -76,13 +108,14 @@ class ShardedModel(Model):
     ) -> jax.Array:
         """Distributed masked forwards: one output per mask row, computed
         over the halo partition."""
-        if not isinstance(self.model_def, GCNNodeModel):
+        hetero_ok = _is_gcn_hetero(self.model_def)
+        if not isinstance(self.model_def, GCNNodeModel) and not hetero_ok:
             if not self.allow_replicated_fallback:
                 raise NotImplementedError(
-                    "ShardedModel serves GCNNodeModel only; the replicated "
-                    "path would hold the full graph per device and OOM at "
-                    "sharded scale. Pass allow_replicated_fallback=True to "
-                    "opt in explicitly."
+                    "ShardedModel serves GCNNodeModel and all-GCNConv "
+                    "HeteroGNN; the replicated path would hold the full "
+                    "graph per device and OOM at sharded scale. Pass "
+                    "allow_replicated_fallback=True to opt in explicitly."
                 )
             warnings.warn(
                 "ShardedModel: replicated fall-back (full graph per device) "
@@ -92,20 +125,31 @@ class ShardedModel(Model):
             return super().perturbed_query_outputs(
                 graph, masks, problem, query, chunk_size
             )
-        part, x = self._halo(graph)
+        part, x, hetero = self._halo(graph)
         m = masks.shape[0]
         if "edge" not in problem:
             pad_cols = part.n_total - masks.shape[1]
             if pad_cols:
                 masks = jnp.pad(masks, ((0, 0), (0, pad_cols)))
 
-        def run(chunk):
-            return halo_masked_outputs(
-                self.model_def, self.params, x, chunk, part, self.mesh,
-                problem=problem,
-                query=None if "graph" in problem else int(query),
-                axis=self.axis, num_nodes=graph.num_nodes,
-            )
+        if hetero_ok:
+            etype_loc, scope_loc = hetero
+
+            def run(chunk):
+                return halo_masked_outputs_hetero(
+                    self.model_def, self.params, x, chunk, part, self.mesh,
+                    etype_loc, scope_loc, problem=problem,
+                    query=None if "graph" in problem else int(query),
+                    axis=self.axis, num_nodes=graph.num_nodes,
+                )
+        else:
+            def run(chunk):
+                return halo_masked_outputs(
+                    self.model_def, self.params, x, chunk, part, self.mesh,
+                    problem=problem,
+                    query=None if "graph" in problem else int(query),
+                    axis=self.axis, num_nodes=graph.num_nodes,
+                )
 
         outs = []
         for start in range(0, m, chunk_size):

