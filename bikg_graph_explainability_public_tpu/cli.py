@@ -12,8 +12,13 @@ cookiecutter scaffolding, SURVEY §2.2).  This is a real one, stdlib-argparse:
     python -m bikg_graph_explainability_public_tpu.cli bench
     python -m bikg_graph_explainability_public_tpu.cli version
 
-Graph file: ``.npz`` with arrays ``feat`` [N,F], ``edge_index`` [2,E] and
-optional ``names`` [N] (defaults to stringified indices).
+Graph file (homogeneous): ``.npz`` with ``feat`` [N,F], ``edge_index``
+[2,E], optional ``names`` [N] and ``edge_names`` [E] (required for
+``edge_prediction`` — edge queries are edge names).
+Graph file (heterogeneous): ``.npz`` with per-type ``feat__<type>`` and
+per-relation ``edge_index__<src>__<rel>__<dst>`` arrays, optional
+``names__<type>`` (the reference enters hetero graphs as dicts,
+``data.py:39-93``; this is that surface as files).
 Pathways file: JSON ``{"pathways": [[...], ...], "names": [...]}``.
 """
 
@@ -31,21 +36,81 @@ def _fail(msg: str) -> "NoReturn":  # noqa: F821
     raise SystemExit(2)
 
 
-def _load_graph(path: str):
+class GraphFile:
+    """Parsed CLI graph file (homogeneous or heterogeneous ``.npz``).
+
+    Homogeneous: arrays ``feat`` [N,F], ``edge_index`` [2,E], optional
+    ``names`` [N] and ``edge_names`` [E] (required for edge problems —
+    edge queries are edge names, not node names).
+
+    Heterogeneous: per-type arrays ``feat__<type>`` and per-relation
+    ``edge_index__<src>__<rel>__<dst>``, optional ``names__<type>``.
+    """
+
+    def __init__(self, feat, edge_index, names, edge_names, hetero):
+        self.feat = feat
+        self.edge_index = edge_index
+        self.names = names
+        self.edge_names = edge_names
+        self.hetero = hetero
+
+    def flat_names(self):
+        """Homogenised node-name list (type blocks in dict order)."""
+        if not self.hetero:
+            return list(self.names)
+        out = []
+        for t in self.feat:
+            out.extend(self.names[t])
+        return out
+
+
+def _load_graph(path: str) -> GraphFile:
     import os
 
     if not os.path.exists(path):
         _fail(f"graph file not found: {path}")
     data = np.load(path, allow_pickle=True)
+    het_feat = {
+        k.split("__", 1)[1]: data[k] for k in data.files
+        if k.startswith("feat__")
+    }
+    if het_feat:
+        edge_index = {}
+        for k in data.files:
+            if k.startswith("edge_index__"):
+                rel = tuple(k.split("__")[1:])
+                if len(rel) != 3:
+                    _fail(
+                        f"{path}: hetero edge key {k!r} must be "
+                        "edge_index__<src>__<rel>__<dst>"
+                    )
+                edge_index[rel] = data[k]
+        if not edge_index:
+            _fail(f"{path} has feat__<type> arrays but no edge_index__ keys")
+        names = {
+            t: (
+                [str(x) for x in data[f"names__{t}"]]
+                if f"names__{t}" in data
+                else [str(i) for i in range(het_feat[t].shape[0])]
+            )
+            for t in het_feat
+        }
+        return GraphFile(het_feat, edge_index, names, None, hetero=True)
     if "feat" not in data or "edge_index" not in data:
-        _fail(f"{path} must contain 'feat' and 'edge_index' arrays")
+        _fail(
+            f"{path} must contain 'feat' and 'edge_index' arrays (or "
+            "hetero 'feat__<type>' / 'edge_index__<src>__<rel>__<dst>')"
+        )
     feat = data["feat"]
     edge_index = data["edge_index"]
     if "names" in data:
         names = [str(x) for x in data["names"]]
     else:
         names = [str(i) for i in range(feat.shape[0])]
-    return feat, edge_index, names
+    edge_names = (
+        [str(x) for x in data["edge_names"]] if "edge_names" in data else None
+    )
+    return GraphFile(feat, edge_index, names, edge_names, hetero=False)
 
 
 def _load_model(checkpoint: str):
@@ -115,15 +180,26 @@ def cmd_explain(args: argparse.Namespace) -> int:
     import bikg_graph_explainability_public_tpu as px
     from .config import DEFAULTS, load_config
 
-    feat, edge_index, names = _load_graph(args.graph)
+    gf = _load_graph(args.graph)
     cfg = load_config(args.config) if args.config else load_config(dict(DEFAULTS))
     model = _load_model(args.checkpoint)
 
     pathways, pathway_names = _load_pathways(args)
 
+    names = gf.names
+    if "edge" in args.problem and not gf.hetero:
+        # edge queries are EDGE names — node-length name lists would
+        # mislabel every row of the output (ADVICE r2)
+        if gf.edge_names is None:
+            _fail(
+                "edge_prediction needs an 'edge_names' array in the graph "
+                ".npz (edge queries are edge names, not node names)"
+            )
+        names = gf.edge_names
+
     ex = px.Explainer(
-        feat,
-        edge_index,
+        gf.feat,
+        gf.edge_index,
         model,
         cfg,
         names,
@@ -154,10 +230,29 @@ def cmd_explain_batch(args: argparse.Namespace) -> int:
     import bikg_graph_explainability_public_tpu as px
     from .config import DEFAULTS, load_config
 
-    feat, edge_index, names = _load_graph(args.graph)
+    gf = _load_graph(args.graph)
     cfg = load_config(args.config) if args.config else load_config(dict(DEFAULTS))
     model = _load_model(args.checkpoint)
     pathways, pathway_names = _load_pathways(args)
+
+    if gf.hetero:
+        from .graph import hetero_to_homo
+
+        g, _info = hetero_to_homo(gf.feat, gf.edge_index)
+        names = gf.flat_names()
+    else:
+        g = px.from_arrays(gf.feat, gf.edge_index)
+        names = list(gf.names)
+
+    if "edge" in args.problem:
+        # edge queries resolve against EDGE names; a node-length name list
+        # would crash or mislabel every output row (ADVICE r2)
+        if gf.hetero or gf.edge_names is None:
+            _fail(
+                "edge_prediction needs an 'edge_names' array in a "
+                "homogeneous graph .npz (edge queries are edge names)"
+            )
+        names = gf.edge_names
 
     name_to_idx = {n: i for i, n in enumerate(names)}
     queries = []
@@ -173,7 +268,6 @@ def cmd_explain_batch(args: argparse.Namespace) -> int:
 
         mesh = make_mesh(args.mesh_devices)
 
-    g = px.from_arrays(feat, edge_index)
     dfs = px.explain_many(
         model, g, queries, cfg.to_dict(), names=names, times=args.times,
         mesh=mesh, pathways=pathways, pathway_names=pathway_names,

@@ -27,7 +27,7 @@ so every Adam step sees numerics identical to ``Explainer``'s.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import List, Optional, Sequence
 
 import jax
@@ -60,6 +60,14 @@ def _folded_keys(pos, seed: int, times: int):
         return jax.vmap(lambda i: jax.random.fold_in(kt, i))(pos)
 
     return jnp.stack([jax.random.key_data(per_t(t)) for t in range(times)])
+
+
+@lru_cache(maxsize=256)
+def _folded_keys_cached(seed: int, times: int, pos: tuple) -> np.ndarray:
+    """Host copy of :func:`_folded_keys`, memoised by value."""
+    return np.asarray(
+        _folded_keys(jnp.asarray(np.asarray(pos, np.uint32)), seed, times)
+    )
 
 
 def _filter_pathways_to_subgraph(
@@ -715,10 +723,11 @@ def _explain_many_stacked(
     )
 
     # all (repeat, query) PRNG keys in one compiled dispatch; the raw rows
-    # drive both the host-side community sampler and the in-jit draws
-    kd_all = np.asarray(
-        _folded_keys(jnp.asarray(orig_pos, jnp.uint32), seed, times)
-    )  # [T, Q, 2] uint32
+    # drive both the host-side community sampler and the in-jit draws.
+    # Deterministic in (seed, times, positions) — cached across calls, so a
+    # serving loop pays the dispatch + device->host fetch (~2 tunnel RTTs
+    # on a remote TPU) once per configuration
+    kd_all = _folded_keys_cached(seed, times, tuple(int(p) for p in orig_pos))
 
     mask_stacks = None  # [T][Q] host masks in community mode
     bs_real = np.full((qn,), n_masks // epochs, np.int32)

@@ -346,6 +346,33 @@ def hetero_to_homo(
     return g, info
 
 
+def homo_to_hetero_edge_indices(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    edge_type: np.ndarray,
+    info: HeteroInfo,
+    num_edges: Optional[int] = None,
+) -> Dict[Tuple[str, ...], np.ndarray]:
+    """Reconstruct per-relation LOCAL edge-index dicts from the homogenised
+    arrays — the edge half of the reference's ``homo2hetero`` reconversion
+    (``data.py:149-232``; the feature half is
+    :func:`homo_to_hetero_features`).  Each relation's [2, E_r] indices are
+    shifted back into its source/target type blocks' local numbering."""
+    snd = _as_np(senders)
+    rcv = _as_np(receivers)
+    et = _as_np(edge_type)
+    if num_edges is not None:
+        snd, rcv, et = snd[:num_edges], rcv[:num_edges], et[:num_edges]
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    tname = info.node_type_names
+    for ri, rel in enumerate(info.edge_type_names):
+        sel = et == ri
+        s_off = info.node_pointers[tname.index(rel[0])]
+        d_off = info.node_pointers[tname.index(rel[-1])]
+        out[tuple(rel)] = np.stack([snd[sel] - s_off, rcv[sel] - d_off])
+    return out
+
+
 def homo_to_hetero_features(
     x: np.ndarray, node_type: np.ndarray, info: HeteroInfo
 ) -> Dict[str, np.ndarray]:

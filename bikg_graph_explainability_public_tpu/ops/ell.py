@@ -70,6 +70,16 @@ def build_neighbor_table(
     # map slot -> original edge id
     eid_full = np.zeros_like(slot_eid)
     eid_full[valid] = eids[slot_eid[valid]]
+    # sort each row's valid slots by source id (invalid slots last): the
+    # Pallas plan coalesces consecutive (source row, gather slot) pairs into
+    # multi-row DMAs, and source-sorted slots make every consecutive
+    # neighbour-id range one run (ops/spmm_pallas.build_compact_plan)
+    key = np.where(valid, nbr.astype(np.int64), np.iinfo(np.int64).max)
+    order = np.argsort(key, axis=1, kind="stable")
+    rows = np.arange(n)[:, None]
+    nbr = nbr[rows, order]
+    eid_full = eid_full[rows, order]
+    valid = valid[rows, order]
     return NeighborTable(
         nbr=jnp.asarray(nbr),
         valid=jnp.asarray(valid.astype(np.float32)),

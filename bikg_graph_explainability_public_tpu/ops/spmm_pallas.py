@@ -58,15 +58,35 @@ _GBUF_BYTES = 8 * 1024 * 1024
 _G = 32
 
 
-class CompactPlan(NamedTuple):
-    """Host-built compact DMA plan for one (NeighborTable, TR) pair.
+#: DMA run-length classes, longest first (a maximal run of consecutive
+#: source rows landing in consecutive gather slots is greedily decomposed
+#: into these sizes; class 1 is the random-graph floor)
+_RUN_CLASSES = (16, 8, 4, 2, 1)
 
-    src:  [NB, TR*K] int32 — source node id per issued DMA, block-compact
-          (block i's real slots occupy the front of row i; the rest is
-          unused padding)
-    dst:  [NB, TR*K] int32 — destination slot position within the block's
+#: counters per row block in the FLAT cnt layout: one per run class + the
+#: total transferred-rows column.  cnt is 1-D [NB * _NCNT] on purpose — a
+#: 2-D scalar-prefetch array is lane-padded to 128 ints per row in SMEM
+#: (1.6 MB at NB=3125), which overflows the scalar core's memory.
+_NCNT = len(_RUN_CLASSES) + 1
+
+
+class CompactPlan(NamedTuple):
+    """Host-built compact, run-coalesced DMA plan for one
+    (NeighborTable, TR) pair.
+
+    Neighbour tables sort each row's slots by source id, so consecutive
+    source rows often land in consecutive gather-buffer slots (always, on
+    graphs with locality in their node numbering); each maximal such run
+    becomes ONE multi-row DMA.  Entries are grouped by run-length class:
+    block i's entries occupy the front of row i, classes in _RUN_CLASSES
+    order.
+
+    src:  [NB, TR*K] int32 — source START node id per DMA entry
+    dst:  [NB, TR*K] int32 — destination START slot within the block's
           [TR*K] gather buffer
-    cnt:  [NB] int32 — real slots per block
+    cnt:  [NB * _NCNT] int32, FLAT — per block: entries per run-length
+          class (_RUN_CLASSES order) then total ROWS transferred (flat
+          because 2-D scalar prefetch is lane-padded to 128 in SMEM)
     tr:   rows per block (static)
 
     Arrays are NUMPY on purpose: plans are cached across jit traces, and
@@ -95,7 +115,7 @@ def _pick_tr(k: int, row_bytes: int) -> int:
 def build_compact_plan(
     nbr: np.ndarray, valid: np.ndarray, tr: int
 ) -> CompactPlan:
-    """Build the compact DMA plan host-side (numpy) from ELL table arrays."""
+    """Build the run-coalesced compact DMA plan host-side (numpy)."""
     n, k = nbr.shape
     n_pad = -(-n // tr) * tr
     nb = n_pad // tr
@@ -106,16 +126,43 @@ def build_compact_plan(
     nb_full[:n] = nbr
     src = np.zeros((nb, trk), np.int32)
     dst = np.zeros((nb, trk), np.int32)
-    cnt = np.zeros((nb,), np.int32)
+    cnt = np.zeros((nb, len(_RUN_CLASSES) + 1), np.int32)
     vb = v.reshape(nb, trk)
     nbb = nb_full.reshape(nb, trk)
     for i in range(nb):
-        slots = np.nonzero(vb[i])[0].astype(np.int32)
+        slots = np.nonzero(vb[i])[0].astype(np.int64)
+        srcs = nbb[i][slots].astype(np.int64)
         c = len(slots)
-        src[i, :c] = nbb[i][slots]
-        dst[i, :c] = slots
-        cnt[i] = c
-    return CompactPlan(src=src, dst=dst, cnt=cnt, tr=tr)
+        cnt[i, -1] = c
+        if c == 0:
+            continue
+        # maximal runs: consecutive gather slots fed by consecutive source
+        # rows (slot order within an ELL row is source-sorted, so runs form
+        # whenever neighbour ids are consecutive)
+        brk = np.nonzero(
+            (np.diff(slots) != 1) | (np.diff(srcs) != 1)
+        )[0] + 1
+        starts = np.concatenate([[0], brk])
+        ends = np.concatenate([brk, [c]])
+        per_class: list[list[tuple[int, int]]] = [
+            [] for _ in _RUN_CLASSES
+        ]
+        for st, en in zip(starts, ends):
+            ln = en - st
+            pos = st
+            for ci, cl in enumerate(_RUN_CLASSES):
+                while ln >= cl:
+                    per_class[ci].append((srcs[pos], slots[pos]))
+                    pos += cl
+                    ln -= cl
+        o = 0
+        for ci, entries in enumerate(per_class):
+            cnt[i, ci] = len(entries)
+            for s_start, d_start in entries:
+                src[i, o] = s_start
+                dst[i, o] = d_start
+                o += 1
+    return CompactPlan(src=src, dst=dst, cnt=cnt.reshape(-1), tr=tr)
 
 
 def _kernel(cnt_ref, src_ref, dst_ref, w_ref, x_hbm, out_ref,
@@ -129,16 +176,18 @@ def _kernel(cnt_ref, src_ref, dst_ref, w_ref, x_hbm, out_ref,
     nb = pl.num_programs(0) - 1
     rows = tr * k
 
-    def start_dma(slot, rr):
+    def start_dma(slot, rr, ln):
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(src_ref[0, 0, rr], 1)],
-            gbuf.at[slot, pl.ds(dst_ref[0, 0, rr], 1)],
+            x_hbm.at[pl.ds(src_ref[0, 0, rr], ln)],
+            gbuf.at[slot, pl.ds(dst_ref[0, 0, rr], ln)],
             sems.at[slot],
         )
 
-    # 1. issue block s's row DMAs into gather slot s%2, ALL on the slot's
-    #    one semaphore (DMA semaphores count bytes, so the drain below can
-    #    consume whole chunks with single aggregated waits)
+    # 1. issue block s's DMAs into gather slot s%2, ALL on the slot's one
+    #    semaphore (DMA semaphores count bytes, so the drain below consumes
+    #    whole chunks with aggregated waits).  Entries are grouped by run
+    #    length: multi-row classes first (one scalar issue covers up to 16
+    #    rows), then the single-row tail chunk-unrolled.
     @pl.when(s < nb)
     def _():
         if mxu:
@@ -151,32 +200,42 @@ def _kernel(cnt_ref, src_ref, dst_ref, w_ref, x_hbm, out_ref,
                 gbuf[1] = jnp.zeros_like(gbuf[1])
 
         slot = jax.lax.rem(s, 2)
-        cnt = cnt_ref[s]
-        nch = cnt // g
+        base = 0
+        for ci, cl in enumerate(_RUN_CLASSES[:-1]):
+            c_cl = cnt_ref[s * _NCNT + ci]
 
-        def body(ci, _):
-            base = ci * g
+            def body(i, _, b0=base, ln=cl):
+                start_dma(slot, b0 + i, ln).start()
+                return 0
+
+            jax.lax.fori_loop(0, c_cl, body, 0, unroll=False)
+            base = base + c_cl
+        c1 = cnt_ref[s * _NCNT + len(_RUN_CLASSES) - 1]
+        nch = c1 // g
+
+        def body1(ci, _, b0=base):
+            off = b0 + ci * g
             for j in range(g):
-                start_dma(slot, base + j).start()
+                start_dma(slot, off + j, 1).start()
             return 0
 
-        jax.lax.fori_loop(0, nch, body, 0, unroll=False)
-        tail = nch * g
+        jax.lax.fori_loop(0, nch, body1, 0, unroll=False)
+        tail = base + nch * g
         for j in range(g):
-            @pl.when(tail + j < cnt)
+            @pl.when(nch * g + j < c1)
             def _():
-                start_dma(slot, tail + j).start()
+                start_dma(slot, tail + j, 1).start()
 
     # 2. drain + reduce block s-1 from the other slot.  A wait consumes
     #    (semaphore, descriptor size) only — offsets are irrelevant — so the
-    #    drain uses g-row descriptors: one scalar wait per CHUNK instead of
-    #    per row (per-row start+wait scalar work is the kernel's roofline;
-    #    this halves it)
+    #    drain uses g-row descriptors against the total transferred ROW
+    #    count: one scalar wait per g rows (per-row start+wait scalar work
+    #    is the kernel's roofline)
     @pl.when(s >= 1)
     def _():
         slot = jax.lax.rem(s - 1, 2)
-        cnt = cnt_ref[s - 1]
-        nch = cnt // g
+        rows_total = cnt_ref[(s - 1) * _NCNT + len(_RUN_CLASSES)]
+        nch = rows_total // g
 
         def wait_rows(r):
             return pltpu.make_async_copy(
@@ -187,9 +246,8 @@ def _kernel(cnt_ref, src_ref, dst_ref, w_ref, x_hbm, out_ref,
 
         jax.lax.fori_loop(0, nch, lambda ci, _: (wait_rows(g).wait(), 0)[1],
                           0, unroll=False)
-        tail = nch * g
         for j in range(g):
-            @pl.when(tail + j < cnt)
+            @pl.when(nch * g + j < rows_total)
             def _():
                 wait_rows(1).wait()
         if mxu:
