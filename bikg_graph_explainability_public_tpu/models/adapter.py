@@ -92,12 +92,13 @@ class Model:
             self.fast
             and isinstance(self.model_def, HeteroGNN)
             and "edge" not in problem
-            and graph.n_pad <= 4096
         ):
             engine = self._fast_hetero_engine(graph)
             if engine is not None:
                 out = engine.query_outputs(masks, query, problem, chunk_size)
-                if out is not None:  # GAT engine declines graph problems
+                # engines decline what they can't serve fast (GAT: graph
+                # problems; GCN: unrestricted beyond DENSE_CAP padded nodes)
+                if out is not None:
                     return out
         fwd = self.forward_fn(graph)
         base = graph.edge_mask.astype(graph.x.dtype)

@@ -69,14 +69,11 @@ class FastBatchedHeteroGCN:
         nt = hv.node_type
 
         rels = model_def.relations
-        adjs = np.zeros((len(rels), n, n), np.float32)
         scopes = np.zeros((len(rels), n), np.float32)
         for ri, rel in enumerate(rels):
-            keep = (et == ri) & (snd != rcv)
-            np.add.at(adjs[ri], (rcv[keep], snd[keep]), 1.0)
             dst_type = model_def.node_type_names.index(rel[-1])
             scopes[ri] = (nt == dst_type) & hv.node_mask
-        self.adj = jnp.asarray(adjs, dtype=dtype)  # [R, N, N]
+        self._adj = None  # dense [R, N, N], built lazily (see ``adj``)
         self.scope = jnp.asarray(scopes)  # [R, N]
 
         # per-relation first-layer transforms: [R, N, C1]
@@ -86,6 +83,31 @@ class FastBatchedHeteroGCN:
             w = np.asarray(params["conv"][0]["__".join(rel)]["weight"])
             xw0.append(hv.x[:, : conv.in_features] @ w.T)
         self.xw0 = jnp.asarray(np.stack(xw0), dtype=dtype)  # [R, N, C1]
+
+    #: padded-node ceiling for the UNRESTRICTED dense [R, N, N] formulation;
+    #: restricted (query-plan) forwards have no size limit — their adjacency
+    #: slices are [R, Ps, N] host numpy
+    DENSE_CAP = 4096
+
+    @property
+    def adj(self) -> jax.Array:
+        """Dense per-relation adjacency [R, N, N] (multiplicity, self-loops
+        dropped), built on first unrestricted use — restricted query plans
+        never pay its R*N^2 memory."""
+        if self._adj is None:
+            graph = self.graph
+            n = graph.n_pad
+            hv = host_view(graph)
+            snd = hv.senders[: graph.num_edges]
+            rcv = hv.receivers[: graph.num_edges]
+            et = hv.edge_type[: graph.num_edges]
+            rels = self.model_def.relations
+            adjs = np.zeros((len(rels), n, n), np.float32)
+            for ri in range(len(rels)):
+                keep = (et == ri) & (snd != rcv)
+                np.add.at(adjs[ri], (rcv[keep], snd[keep]), 1.0)
+            self._adj = jnp.asarray(adjs, dtype=self.dtype)
+        return self._adj
 
     def query_plan(self, query: int) -> Optional[HeteroQueryPlan]:
         """Cached receptive-field plan (see :mod:`.fast_gcn`); BFS runs over
@@ -264,6 +286,10 @@ class FastBatchedHeteroGCN:
                         lambda c: self._restricted_outputs(c, plan), chunks
                     ).reshape(m_total)
                 return self._restricted_outputs(masks, plan)
+        if self.graph.n_pad > self.DENSE_CAP:
+            # the unrestricted formulation is dense [R, N, N] einsum work —
+            # decline and let the adapter fall back to the COO path
+            return None
         nvalid = self.graph.node_mask.astype(jnp.float32)
 
         def run_chunk(mchunk):
