@@ -115,53 +115,68 @@ def _pick_tr(k: int, row_bytes: int) -> int:
 def build_compact_plan(
     nbr: np.ndarray, valid: np.ndarray, tr: int
 ) -> CompactPlan:
-    """Build the run-coalesced compact DMA plan host-side (numpy)."""
+    """Build the run-coalesced compact DMA plan host-side.
+
+    Fully vectorized numpy (a per-block Python loop measured 117 s at 1M
+    edges — this runs in well under a second): maximal runs are found on the
+    flattened valid-slot stream (a run breaks on block change, non-unit slot
+    step, or non-unit source step), every run is greedily decomposed into
+    ``_RUN_CLASSES`` entries, and entries land block-compact, class-major via
+    one stable lexsort."""
     n, k = nbr.shape
     n_pad = -(-n // tr) * tr
     nb = n_pad // tr
     trk = tr * k
     v = np.zeros((n_pad, k), bool)
     v[:n] = valid > 0
-    nb_full = np.zeros((n_pad, k), np.int32)
+    nb_full = np.zeros((n_pad, k), np.int64)
     nb_full[:n] = nbr
-    src = np.zeros((nb, trk), np.int32)
-    dst = np.zeros((nb, trk), np.int32)
-    cnt = np.zeros((nb, len(_RUN_CLASSES) + 1), np.int32)
     vb = v.reshape(nb, trk)
     nbb = nb_full.reshape(nb, trk)
-    for i in range(nb):
-        slots = np.nonzero(vb[i])[0].astype(np.int64)
-        srcs = nbb[i][slots].astype(np.int64)
-        c = len(slots)
-        cnt[i, -1] = c
-        if c == 0:
-            continue
-        # maximal runs: consecutive gather slots fed by consecutive source
-        # rows (slot order within an ELL row is source-sorted, so runs form
-        # whenever neighbour ids are consecutive)
-        brk = np.nonzero(
-            (np.diff(slots) != 1) | (np.diff(srcs) != 1)
-        )[0] + 1
-        starts = np.concatenate([[0], brk])
-        ends = np.concatenate([brk, [c]])
-        per_class: list[list[tuple[int, int]]] = [
-            [] for _ in _RUN_CLASSES
-        ]
-        for st, en in zip(starts, ends):
-            ln = en - st
-            pos = st
-            for ci, cl in enumerate(_RUN_CLASSES):
-                while ln >= cl:
-                    per_class[ci].append((srcs[pos], slots[pos]))
-                    pos += cl
-                    ln -= cl
-        o = 0
-        for ci, entries in enumerate(per_class):
-            cnt[i, ci] = len(entries)
-            for s_start, d_start in entries:
-                src[i, o] = s_start
-                dst[i, o] = d_start
-                o += 1
+    src = np.zeros((nb, trk), np.int32)
+    dst = np.zeros((nb, trk), np.int32)
+    cnt = np.zeros((nb, _NCNT), np.int32)
+    cnt[:, -1] = vb.sum(1)
+    flat = np.nonzero(vb.ravel())[0]
+    if flat.size == 0:
+        return CompactPlan(src=src, dst=dst, cnt=cnt.reshape(-1), tr=tr)
+    blk = (flat // trk).astype(np.int64)
+    slot = (flat % trk).astype(np.int64)
+    srcs = nbb.ravel()[flat]
+    brk = np.ones(flat.size, bool)
+    brk[1:] = (
+        (np.diff(blk) != 0) | (np.diff(slot) != 1) | (np.diff(srcs) != 1)
+    )
+    run_first = np.nonzero(brk)[0]
+    run_len = np.diff(np.append(run_first, flat.size))
+    ent_pos, ent_cls = [], []
+    rem = run_len
+    base = np.zeros(run_len.size, np.int64)  # consumed offset within run
+    for ci, cl in enumerate(_RUN_CLASSES):
+        c_cl = rem // cl
+        rem = rem - c_cl * cl
+        tot = int(c_cl.sum())
+        if tot:
+            cum = np.zeros(run_len.size + 1, np.int64)
+            np.cumsum(c_cl, out=cum[1:])
+            local = np.arange(tot) - np.repeat(cum[:-1], c_cl)
+            ent_pos.append(np.repeat(run_first + base, c_cl) + local * cl)
+            ent_cls.append(np.full(tot, ci, np.int64))
+        base = base + c_cl * cl
+    pos = np.concatenate(ent_pos)
+    cls = np.concatenate(ent_cls)
+    eb = blk[pos]
+    np.add.at(cnt, (eb, cls), 1)
+    # block-compact, class-major layout: stable sort by (block, class);
+    # within equal keys the run order (ascending position) is preserved
+    order = np.lexsort((cls, eb))
+    bc = cnt[:, :-1].sum(1, dtype=np.int64)  # entries per block
+    first = np.zeros(nb + 1, np.int64)
+    np.cumsum(bc, out=first[1:])
+    within = np.arange(pos.size) - np.repeat(first[:-1], bc)
+    eb_s = eb[order]
+    src[eb_s, within] = srcs[pos][order].astype(np.int32)
+    dst[eb_s, within] = slot[pos][order].astype(np.int32)
     return CompactPlan(src=src, dst=dst, cnt=cnt.reshape(-1), tr=tr)
 
 
