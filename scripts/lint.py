@@ -160,8 +160,92 @@ def iter_py(paths: list[str]):
                     yield os.path.join(root, f)
 
 
+API_MANIFEST = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "api_signatures.json"
+)
+
+
+def api_signature_map() -> dict[str, str]:
+    """Signature string of every public-API callable (``px.__all__`` plus the
+    public methods of exported classes), via runtime introspection."""
+    import importlib
+    import inspect
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    import re
+
+    pkg = importlib.import_module("bikg_graph_explainability_public_tpu")
+
+    def sig(obj) -> str:
+        # function-object defaults repr with a memory address — strip it or
+        # every run would "drift"
+        return re.sub(
+            r"<(function|class|bound method) ([^>]+) at 0x[0-9a-f]+>",
+            r"<\1 \2>",
+            str(inspect.signature(obj)),
+        )
+
+    out: dict[str, str] = {}
+    for name in sorted(pkg.__all__):
+        obj = getattr(pkg, name)
+        if inspect.isclass(obj):
+            for mname, m in sorted(vars(obj).items()):
+                if mname.startswith("_") and mname != "__init__":
+                    continue
+                if callable(m) or isinstance(m, (staticmethod, classmethod)):
+                    try:
+                        out[f"{name}.{mname}"] = sig(m)
+                    except (ValueError, TypeError):
+                        pass
+        elif callable(obj):
+            try:
+                out[name] = sig(obj)
+            except (ValueError, TypeError):
+                pass
+    return out
+
+
+def check_api_signatures(update: bool = False) -> list[Finding]:
+    """Type/signature gate for the public API (the reference gates on mypy,
+    ``tox.ini:12-28``; mypy isn't in this image, so the gate is a checked-in
+    signature manifest).  Any drift — changed annotation or default, removed
+    parameter, dropped or added export — fails ``make lint`` until the
+    change is acknowledged with ``python scripts/lint.py --update-api``."""
+    import json
+
+    current = api_signature_map()
+    if update or not os.path.exists(API_MANIFEST):
+        with open(API_MANIFEST, "w") as f:
+            json.dump(current, f, indent=1, sort_keys=True)
+        print(f"-- wrote {len(current)} API signatures to {API_MANIFEST}")
+        return []
+    with open(API_MANIFEST) as f:
+        expected = json.load(f)
+    findings = []
+    for key in sorted(set(expected) | set(current)):
+        if key not in current:
+            findings.append(Finding(
+                API_MANIFEST, 1, "ANN002",
+                f"public API symbol removed: {key}{expected[key]}"))
+        elif key not in expected:
+            findings.append(Finding(
+                API_MANIFEST, 1, "ANN003",
+                f"new public API symbol not in manifest: {key}{current[key]}"
+                " (run scripts/lint.py --update-api)"))
+        elif expected[key] != current[key]:
+            findings.append(Finding(
+                API_MANIFEST, 1, "ANN001",
+                f"signature drift on {key}: manifest {expected[key]!r}"
+                f" != current {current[key]!r}"))
+    return findings
+
+
 def main(argv: list[str]) -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    update_api = "--update-api" in argv
+    argv = [a for a in argv if a != "--update-api"]
     paths = argv or [
         os.path.join(repo, "bikg_graph_explainability_public_tpu"),
         os.path.join(repo, "tests"),
@@ -177,6 +261,7 @@ def main(argv: list[str]) -> int:
         all_findings.extend(findings)
         doc_d += d
         doc_n += n
+    all_findings.extend(check_api_signatures(update=update_api))
 
     for f in sorted(all_findings, key=lambda x: (x.path, x.line)):
         print(f)

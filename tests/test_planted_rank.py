@@ -12,7 +12,6 @@ problems, homogeneous and heterogeneous.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 import bikg_graph_explainability_public_tpu as px
 from bikg_graph_explainability_public_tpu.graph import hetero_to_homo
