@@ -88,16 +88,13 @@ class Model:
         if self.fast and isinstance(self.model_def, GCNNodeModel):
             engine = self._fast_engine(graph)
             return engine.query_outputs(masks, query, problem, chunk_size)
-        if (
-            self.fast
-            and isinstance(self.model_def, HeteroGNN)
-            and "edge" not in problem
-        ):
+        if self.fast and isinstance(self.model_def, HeteroGNN):
             engine = self._fast_hetero_engine(graph)
             if engine is not None:
                 out = engine.query_outputs(masks, query, problem, chunk_size)
-                # engines decline what they can't serve fast (GAT: graph
-                # problems; GCN: unrestricted beyond DENSE_CAP padded nodes)
+                # engines decline what they can't serve fast (GAT: edge and
+                # graph problems; GCN: unrestricted beyond DENSE_CAP padded
+                # nodes, unrestricted edge problems)
                 if out is not None:
                     return out
         fwd = self.forward_fn(graph)

@@ -42,6 +42,25 @@ class HeteroQueryPlan(NamedTuple):
     scope_v: np.ndarray  # [R, Ps]
 
 
+class HeteroEdgeQueryPlan(NamedTuple):
+    """Receptive-field restriction for hetero *edge-masked* forwards.
+
+    Same geometry as :class:`.fast_gcn.EdgeQueryPlan` — per-sample adjacency
+    rebuilt from the edge mask by a one-hot contraction — but per relation:
+    each relation r owns its ball-local edge ids and placement matrices, its
+    degree is relation-scoped (``scope_r`` self-loops, PyG HeteroConv
+    semantics), replacing the reference's per-perturbation hetero Python
+    loop for edge problems too (``model.py:196-249``)."""
+
+    vp: np.ndarray
+    p_sizes: Tuple[int, ...]
+    scope_v: np.ndarray  # [R, Ps]
+    deg_eid: Tuple[np.ndarray, ...]  # per relation
+    deg_onehot: Tuple[np.ndarray, ...]
+    layer_eid: Tuple[Tuple[np.ndarray, ...], ...]  # [layer][relation]
+    layer_onehot: Tuple[Tuple[np.ndarray, ...], ...]
+
+
 class FastBatchedHeteroGCN:
     """Batched masked forward engine for HeteroGNN models whose convs are all
     GCNConv (the architecture of the reference's trained hetero checkpoint)."""
@@ -52,6 +71,7 @@ class FastBatchedHeteroGCN:
     ):
         self.restrict = restrict
         self._plans: dict = {}
+        self._edge_plans: dict = {}
         if not all(
             isinstance(c, GCNConv) for layer in model_def.conv_layers for c in layer.values()
         ):
@@ -157,6 +177,140 @@ class FastBatchedHeteroGCN:
             )
         self._plans[q] = plan
         return plan
+
+    def edge_query_plan(self, query: int) -> Optional[HeteroEdgeQueryPlan]:
+        """Cached per-relation edge plan (seed node = the query edge's
+        receiver, resolved by the caller like the homo engine)."""
+        q = int(query)
+        if q in self._edge_plans:
+            return self._edge_plans[q]
+        from .fast_gcn import _ball_geometry, _pad16
+
+        graph = self.graph
+        num_layers = len(self.model_def.conv_layers)
+        snd, rcv, vp, pos, p_s, p_sizes = _ball_geometry(
+            graph, q, num_layers
+        )
+        et = host_view(graph).edge_type[: graph.num_edges]
+        eids = np.arange(graph.num_edges, dtype=np.int32)
+        keep = snd != rcv
+        nrel = len(self.model_def.relations)
+
+        def onehot(sel_rows, sel_cols, sel_eid, rows, cols):
+            rp, cp, ei, val = _pad16(
+                sel_rows.astype(np.int32), sel_cols.astype(np.int32), sel_eid
+            )
+            oh = np.zeros((rp.shape[0], rows * cols), np.float32)
+            oh[np.arange(rp.shape[0]), rp * cols + cp] = val
+            return ei.astype(np.int32), oh
+
+        rcv_pos, snd_pos = pos[rcv], pos[snd]
+        deg_eid, deg_onehot = [], []
+        layer_eid = [[] for _ in p_sizes]
+        layer_onehot = [[] for _ in p_sizes]
+        for ri in range(nrel):
+            base = keep & (et == ri)
+            in_deg = base & (rcv_pos >= 0)
+            ei, oh = onehot(
+                rcv_pos[in_deg], np.zeros(in_deg.sum(), np.int64),
+                eids[in_deg], p_s, 1,
+            )
+            deg_eid.append(ei)
+            deg_onehot.append(oh)
+            prev = p_s
+            for li, p in enumerate(p_sizes):
+                sel = (
+                    base
+                    & (rcv_pos >= 0) & (rcv_pos < p)
+                    & (snd_pos >= 0) & (snd_pos < prev)
+                )
+                ei, oh = onehot(
+                    rcv_pos[sel], snd_pos[sel], eids[sel], p, prev
+                )
+                layer_eid[li].append(ei)
+                layer_onehot[li].append(oh)
+                prev = p
+        plan = HeteroEdgeQueryPlan(
+            vp=vp,
+            p_sizes=p_sizes,
+            scope_v=np.asarray(self.scope)[:, vp],
+            deg_eid=tuple(deg_eid),
+            deg_onehot=tuple(deg_onehot),
+            layer_eid=tuple(tuple(le) for le in layer_eid),
+            layer_onehot=tuple(tuple(lo) for lo in layer_onehot),
+        )
+        self._edge_plans[q] = plan
+        return plan
+
+    def _restricted_edge_outputs(
+        self, masks: jax.Array, plan: HeteroEdgeQueryPlan
+    ) -> jax.Array:
+        """[B] query predictions for edge-masked forwards on the ball.
+
+        Per relation: dropped edges leave the relation's masked adjacency
+        (one-hot contraction), self-loops stay on within the relation's
+        destination-type scope (PyG HeteroConv semantics; the reference's
+        edge perturbation drops edges and keeps unit self-loops,
+        ``data.py:500-554``)."""
+        m = masks.astype(jnp.float32)  # [B, E_pad]
+        b = m.shape[0]
+        nrel = len(self.model_def.relations)
+        p_s = plan.vp.shape[0]
+        deg = jnp.stack([
+            plan.scope_v[ri][None, :] + jnp.einsum(
+                "be,ek->bk", m[:, plan.deg_eid[ri]], plan.deg_onehot[ri],
+                preferred_element_type=jnp.float32,
+            )
+            for ri in range(nrel)
+        ])  # [R, B, Ps]
+        dis = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-30)), 0.0)
+        self_w = plan.scope_v[:, None, :] * dis * dis
+        xw0_v = self.xw0[:, plan.vp]  # [R, Ps, C1]
+
+        def layer_adj(li, ri, prev, ni):
+            a = jnp.einsum(
+                "be,ep->bp",
+                m[:, plan.layer_eid[li][ri]],
+                plan.layer_onehot[li][ri],
+                preferred_element_type=jnp.float32,
+            ).reshape(b, ni, prev)
+            return a * dis[ri][:, :ni, None] * dis[ri][:, None, :prev]
+
+        n0 = plan.p_sizes[0]
+        layer0 = self.model_def.conv_layers[0]
+        h = None
+        for ri, (rel, conv) in enumerate(layer0.items()):
+            p = self.params["conv"][0]["__".join(rel)]
+            agg = jnp.einsum(
+                "bkv,vc->bkc", layer_adj(0, ri, p_s, n0),
+                xw0_v[ri].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            contrib = agg + self_w[ri][:, :n0, None] * xw0_v[ri][:n0].astype(
+                jnp.float32
+            )
+            if "bias" in p:
+                contrib = contrib + p["bias"] * plan.scope_v[ri][None, :n0, None]
+            h = contrib if h is None else h + contrib
+        h = relu(h)
+        prev = n0
+        for li, layer in enumerate(self.model_def.conv_layers[1:], start=1):
+            ni = plan.p_sizes[li]
+            out = None
+            for ri, (rel, conv) in enumerate(layer.items()):
+                p = self.params["conv"][li]["__".join(rel)]
+                hw = h[..., : conv.in_features] @ p["weight"].T
+                agg = jnp.einsum(
+                    "bkv,bvc->bkc", layer_adj(li, ri, prev, ni), hw,
+                    preferred_element_type=jnp.float32,
+                )
+                contrib = agg + self_w[ri][:, :ni, None] * hw[:, :ni]
+                if "bias" in p:
+                    contrib = contrib + p["bias"] * plan.scope_v[ri][None, :ni, None]
+                out = contrib if out is None else out + contrib
+            h = relu(out)
+            prev = ni
+        return self.model_def.head(self.params, h[:, 0, :])[:, 0]
 
     def _restricted_outputs(
         self, masks: jax.Array, plan: HeteroQueryPlan
@@ -274,18 +428,32 @@ class FastBatchedHeteroGCN:
     ) -> jax.Array:
         """One output per mask row for the query element (node/edge/graph problems)."""
         is_graph = "graph" in problem
+        is_edge = "edge" in problem
         if self.restrict and not is_graph and isinstance(query, (int, np.integer)):
-            plan = self.query_plan(int(query))
+            plan = (
+                self.edge_query_plan(int(query))
+                if is_edge
+                else self.query_plan(int(query))
+            )
             if plan is not None:
+                step = (
+                    self._restricted_edge_outputs
+                    if is_edge
+                    else self._restricted_outputs
+                )
                 m_total = masks.shape[0]
                 if m_total % chunk_size == 0 and m_total > chunk_size:
                     chunks = masks.reshape(
                         m_total // chunk_size, chunk_size, masks.shape[1]
                     )
                     return jax.lax.map(
-                        lambda c: self._restricted_outputs(c, plan), chunks
+                        lambda c: step(c, plan), chunks
                     ).reshape(m_total)
-                return self._restricted_outputs(masks, plan)
+                return step(masks, plan)
+        if is_edge:
+            # unrestricted hetero edge forwards have no dense formulation
+            # here — decline and let the adapter run the generic COO path
+            return None
         if self.graph.n_pad > self.DENSE_CAP:
             # the unrestricted formulation is dense [R, N, N] einsum work —
             # decline and let the adapter fall back to the COO path

@@ -186,3 +186,68 @@ class TestFastHeteroGAT:
         a = np.asarray(slow.perturbed_query_outputs(g, masks, "graph_prediction", None))
         b = np.asarray(fast.perturbed_query_outputs(g, masks, "graph_prediction", None))
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+class TestFastHeteroEdgeProblems:
+    """Hetero edge-masked forwards via per-relation one-hot plans
+    (VERDICT r2 item 4: edge problems previously always fell back to the
+    generic COO path)."""
+
+    def _compare_edge(self, conv_channels, seed=0, query=3):
+        g, mdef, params = _two_type_setup(conv_channels=conv_channels)
+        slow = px.Model(mdef, params, fast=False)
+        sampler = MaskSampler(
+            g.num_edges, g.e_pad, {"interpret_samples": 16, "epochs": 4}, None
+        )
+        masks, _, _ = sampler.sample(jax.random.PRNGKey(seed))
+        problem = "edge_prediction"
+        a = np.asarray(slow.perturbed_query_outputs(g, masks, problem, query))
+        eng = FastBatchedHeteroGCN(mdef, params, g)
+        plan = eng.edge_query_plan(query)
+        assert plan is not None
+        b = np.asarray(eng.query_outputs(masks, query, problem))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+        fast = px.Model(mdef, params, fast=True)
+        c = np.asarray(fast.perturbed_query_outputs(g, masks, problem, query))
+        np.testing.assert_allclose(a, c, rtol=1e-4, atol=1e-5)
+
+    def test_one_layer(self):
+        self._compare_edge((6,))
+
+    def test_two_layers(self):
+        self._compare_edge((6, 5), query=1)
+
+    def test_unrestricted_edge_declines(self):
+        g, mdef, params = _two_type_setup()
+        eng = FastBatchedHeteroGCN(mdef, params, g, restrict=False)
+        masks = np.ones((4, g.e_pad), bool)
+        assert eng.query_outputs(masks, 3, "edge_prediction") is None
+
+
+class TestHeteroBeyondDenseCap:
+    """Restricted node queries run at any size; only the unrestricted dense
+    formulation is capped (lazy [R, N, N] adjacency)."""
+
+    def test_restricted_node_query_beyond_cap(self, monkeypatch):
+        g, mdef, params = _two_type_setup()
+        monkeypatch.setattr(FastBatchedHeteroGCN, "DENSE_CAP", 4)
+        slow = px.Model(mdef, params, fast=False)
+        sampler = MaskSampler(
+            g.num_nodes, g.n_pad, {"interpret_samples": 16, "epochs": 4}, None
+        )
+        masks, _, _ = sampler.sample(jax.random.PRNGKey(1))
+        eng = FastBatchedHeteroGCN(mdef, params, g)
+        assert eng._adj is None
+        got = np.asarray(eng.query_outputs(masks, 3, "node_prediction"))
+        assert eng._adj is None  # restricted path never built the dense adj
+        want = np.asarray(
+            slow.perturbed_query_outputs(g, masks, "node_prediction", 3)
+        )
+        np.testing.assert_allclose(want, got, rtol=1e-4, atol=1e-5)
+
+    def test_graph_problem_beyond_cap_declines(self, monkeypatch):
+        g, mdef, params = _two_type_setup()
+        monkeypatch.setattr(FastBatchedHeteroGCN, "DENSE_CAP", 4)
+        eng = FastBatchedHeteroGCN(mdef, params, g)
+        masks = np.ones((4, g.n_pad), bool)
+        assert eng.query_outputs(masks, None, "graph_prediction") is None
