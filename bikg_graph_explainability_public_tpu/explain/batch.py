@@ -249,6 +249,27 @@ class _Stack:
 # ---------------------------------------------------------------------------
 
 
+def _unpack_mask_bits(packed, width: int):
+    """In-jit inverse of ``np.packbits(mask, axis=-1)``.
+
+    Community masks are sampled host-side and shipped to the device; packing
+    8 mask bits per byte cuts the tunnel transfer 8x (measured ~35 ms ->
+    ~7 ms for the 16-query community workload's [16, 1000, 2048] stack on a
+    remote v5e).  ``packed``: [M, ceil(width/8)] uint8, big-endian bit order
+    (numpy's packbits default).  Returns [M, width] bool.
+    """
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[:, :, None] >> shifts[None, None, :]) & jnp.uint8(1)
+    return bits.reshape(packed.shape[0], -1)[:, :width].astype(bool)
+
+
+def _masks_in(masks, width: int):
+    """Accept either raw bool masks or packbits-compressed uint8 rows."""
+    if masks is not None and masks.dtype == jnp.uint8:
+        return _unpack_mask_bits(masks, width)
+    return masks
+
+
 def _kernel_weights(masks, n_elements):
     """Log-space KernelSHAP weights with a traced element count (mask width
     is padded; all-False pad rows get weight 0)."""
@@ -353,6 +374,7 @@ def _explain_one_query(
     # (community mode) — no dead randomness either way
     k_init = jax.random.fold_in(key, 1)
     col_valid = jnp.arange(n) < n_valid
+    masks = _masks_in(masks, n)
     if masks is None:
         k_mask = jax.random.fold_in(key, 0)
         masks = jax.random.bernoulli(k_mask, 0.5, (n_masks, n)) & col_valid[None, :]
@@ -467,6 +489,7 @@ def _explain_one_query_hetero(
     n = x.shape[0]
     k_init = jax.random.fold_in(key, 1)
     col_valid = jnp.arange(n) < n_valid
+    masks = _masks_in(masks, n)
     if masks is None:
         k_mask = jax.random.fold_in(key, 0)
         masks = jax.random.bernoulli(k_mask, 0.5, (n_masks, n)) & col_valid[None, :]
@@ -564,6 +587,7 @@ def _explain_one_query_coo(
     width = snd.shape[0] if is_edge else x.shape[0]
     k_init = jax.random.fold_in(key, 1)
     col_valid = jnp.arange(width) < n_elements
+    masks = _masks_in(masks, width)
     if masks is None:
         k_mask = jax.random.fold_in(key, 0)
         masks = (
@@ -662,6 +686,21 @@ def explain_many(
     # THEN fetch — bucket compute and tunnel round trips overlap instead of
     # chaining (dispatch -> block -> fetch) per bucket.  Measured 4-bucket
     # hetero workload on a remote v5e: 54 -> ~90 explanations/sec
+    # the name -> global-id community conversion is bucket-invariant; hoist
+    # it so Nbuckets buckets don't each re-run the searchsorted pass
+    # (measured 28 ms of a 146 ms 16-query community call at 3 buckets)
+    pw_global = None
+    if pathways is not None:
+        is_edge = "edge" in problem
+        all_names_arr = (
+            np.array(names, dtype=str)
+            if names is not None
+            else np.arange(
+                graph.e_pad if is_edge else graph.n_pad
+            ).astype(str)
+        )
+        pw_global = _pathways_as_global_ids(pathways, all_names_arr)
+
     results: list = [None] * len(queries)
     launches = []
     for idxs in buckets.values():
@@ -671,6 +710,7 @@ def explain_many(
             subs=[subs[i] for i in idxs],
             orig_pos=np.asarray(idxs, np.int32),
             defer=True,
+            pw_global=pw_global,
         )
         launches.append((idxs, ws, build))
     # ONE batched fetch for every bucket and repeat (a per-bucket
@@ -697,6 +737,7 @@ def _explain_many_stacked(
     subs: Optional[list] = None,
     orig_pos: Optional[np.ndarray] = None,
     defer: bool = False,
+    pw_global: Optional[List[np.ndarray]] = None,
 ):
     """Explain Q queries with one vmapped program per repeat.
 
@@ -783,7 +824,8 @@ def _explain_many_stacked(
             if pathway_names is not None
             else list(range(len(pathways)))
         )
-        pw_global = _pathways_as_global_ids(pathways, all_names_arr)
+        if pw_global is None:
+            pw_global = _pathways_as_global_ids(pathways, all_names_arr)
         cap = graph.e_pad if is_edge else graph.n_pad
 
         mask_stacks = [[None] * qn for _ in range(times)]
@@ -900,7 +942,10 @@ def _explain_many_stacked(
         keys = jnp.asarray(kd_run[t])
         m_dev = None
         if mask_stacks is not None:
-            mstack = np.stack(mask_stacks[t])  # [Q, M, width]
+            # packbits: 8 mask bits per shipped byte (see _unpack_mask_bits)
+            mstack = np.packbits(
+                np.stack(mask_stacks[t]), axis=-1
+            )  # [Q, M, ceil(width/8)] uint8
             if q_run != qn:
                 mstack = np.concatenate(
                     [mstack, np.repeat(mstack[-1:], q_run - qn, 0)]

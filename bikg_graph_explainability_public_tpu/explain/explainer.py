@@ -273,6 +273,13 @@ class Explainer:
             kept = np.asarray(sub.parent_nodes[: sub_graph.num_nodes])
             names_array = np.array(names, dtype=str)
             if "edge" in self.problem:
+                if len(names_array) < graph.num_edges:
+                    raise AssertionError(
+                        "edge_prediction requires one name per EDGE "
+                        f"(got {len(names_array)} names for "
+                        f"{graph.num_edges} edges); node-length name "
+                        "lists only fit node/graph problems"
+                    )
                 kept_edges = np.nonzero(np.asarray(sub.parent_edge_mask))[0]
                 sub_names = names_array[kept_edges].tolist()
             else:

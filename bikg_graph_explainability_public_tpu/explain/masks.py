@@ -197,11 +197,13 @@ def sample_community_mask(
     j = local - si_b[row_block]  # ext-local row index (where is_ext)
     half = ((sizes_b - si_b) // 2)[row_block]
 
-    u_elem = rng.random((m_total, width))
-    u_path = rng.random((m_total, num_pathways))
-
-    own = mem[row_tag]  # [M, width] own-community columns
-    internal = u_elem < 0.5
+    # internal bits: draw only the max community width, not the full mask
+    # width (a full [M, width] draw + per-row membership gather + where
+    # measured 30 ms of the 16-query community bench; communities are
+    # typically width/P columns wide)
+    l_max = int(lens_b.max()) if len(used) else 0
+    u_elem = rng.random((m_total, max(l_max, 1)), dtype=np.float32)
+    u_path = rng.random((m_total, num_pathways), dtype=np.float32)
 
     # antithetic external coalitions: second half inverts the first half
     # (reference pathways.py:234-283); odd tail row is a fresh draw
@@ -230,8 +232,16 @@ def sample_community_mask(
     # community coalition -> element bits: one boolean matmul (elements in
     # several coalition communities OR together, like the reference's
     # scatter-or over the segment table)
-    ext_elem = pm.astype(np.uint8) @ mem.astype(np.uint8) > 0
-    full = np.where(own, internal, ext_elem)
+    full = pm.astype(np.uint8) @ mem.astype(np.uint8) > 0
+    # own-community columns carry the internal bits (reference
+    # masks.py:322-340): per-block slice assignment — every row of a block
+    # shares the same column set, so this is contiguous-row fancy indexing
+    # instead of a full-width where against a gathered membership matrix
+    for bi, p in enumerate(used):
+        s = int(starts[bi])
+        e = s + int(sizes_b[bi])
+        cols = p.columns
+        full[s:e, cols] = u_elem[s:e, : cols.shape[0]] < 0.5
 
     tags = row_tag
     if num_elements > 4000 and m_total > total:
@@ -250,7 +260,7 @@ def sample_shapley_mask(
     False.  Host-side numpy (see :func:`_np_rng`); the jit-internal Shapley
     draw in ``explain/batch.py`` stays ``jax.random``.  ``key`` may be a jax
     PRNG key or a numpy Generator."""
-    bits = _np_rng(key).random((total, width)) < 0.5
+    bits = _np_rng(key).random((total, width), dtype=np.float32) < 0.5
     bits[:, num_elements:] = False
     return bits
 
