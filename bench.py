@@ -345,8 +345,6 @@ def bench_spmm_sol(n=BIG_N, e=BIG_E, b=16, f=128, seed=0):
     # sequential data dependence through the weights
     import jax
 
-    import jax
-
     def slope(fn, w0):
         def scan_n(nn):
             @jax.jit
