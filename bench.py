@@ -154,6 +154,19 @@ def get_baselines():
     return d
 
 
+def _best_of(fn, reps=3):
+    """Best wall time of ``reps`` calls.  The end-to-end eps benches time a
+    handful of dispatches over the remote-TPU tunnel, whose RTT spikes by
+    2x under transient congestion — a single timed call measured the tunnel's
+    mood, not the framework (observed 109 vs 225 eps minutes apart)."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def _marginal_time(make_step, masks, n1=3, n2=13):  # noqa: C901
     """Marginal seconds per step, slope-measured.
 
@@ -416,9 +429,7 @@ def bench_explanations_per_sec(n=20_000, e=160_000, q=16, seed=5):
     g, model, rng = _explain_graph(n, e, seed)
     queries = list(rng.integers(0, n, q))
     px.explain_many(model, g, queries, CFG_FULL)  # warm up / compile
-    t0 = time.perf_counter()
-    px.explain_many(model, g, queries, CFG_FULL)
-    return q / (time.perf_counter() - t0)
+    return q / _best_of(lambda: px.explain_many(model, g, queries, CFG_FULL))
 
 
 def bench_community_explanations_per_sec(n=20_000, e=160_000, q=16, k=32, seed=7):
@@ -433,9 +444,9 @@ def bench_community_explanations_per_sec(n=20_000, e=160_000, q=16, k=32, seed=7
     queries = list(rng.integers(0, n, q))
     kw = dict(names=names, pathways=pathways, pathway_names=pw_names)
     px.explain_many(model, g, queries, CFG_FULL, **kw)  # warm up
-    t0 = time.perf_counter()
-    px.explain_many(model, g, queries, CFG_FULL, **kw)
-    return q / (time.perf_counter() - t0)
+    return q / _best_of(
+        lambda: px.explain_many(model, g, queries, CFG_FULL, **kw)
+    )
 
 
 def bench_hetero_explanations_per_sec(n_per_type=4000, e_per_rel=24_000,
@@ -471,9 +482,7 @@ def bench_hetero_explanations_per_sec(n_per_type=4000, e_per_rel=24_000,
     model = px.Model(mdef, params)
     queries = list(rng.integers(0, n_per_type, q))
     px.explain_many(model, g, queries, CFG_FULL)  # warm up
-    t0 = time.perf_counter()
-    px.explain_many(model, g, queries, CFG_FULL)
-    return q / (time.perf_counter() - t0)
+    return q / _best_of(lambda: px.explain_many(model, g, queries, CFG_FULL))
 
 
 # ---------------------------------------------------------------------------
