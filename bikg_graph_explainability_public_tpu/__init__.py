@@ -34,11 +34,19 @@ from .models.gnn import (
     HeteroGNN,
     gat_node_model,
     gin_node_model,
+    graph_conv_node_model,
     hetero_gcn_for_relations,
     hetero_gat_for_relations,
     sage_node_model,
 )
-from .models.layers import GCNConv, GATConv, GINConv, Linear, SAGEConv
+from .models.layers import (
+    GCNConv,
+    GATConv,
+    GINConv,
+    GraphConv,
+    Linear,
+    SAGEConv,
+)
 from .compat import Data, Kernel, Mask, LinearRegression
 from .config import ExplainerConfig, load_config
 from .version import VERSION, get_version
@@ -71,12 +79,14 @@ __all__ = [
     "HeteroGNN",
     "gat_node_model",
     "gin_node_model",
+    "graph_conv_node_model",
     "sage_node_model",
     "hetero_gcn_for_relations",
     "hetero_gat_for_relations",
     "GCNConv",
     "GATConv",
     "GINConv",
+    "GraphConv",
     "SAGEConv",
     "Linear",
     "Data",

@@ -15,7 +15,16 @@ from typing import Any, Callable, Dict, List, Sequence, Tuple
 
 import jax
 
-from .layers import GATConv, GCNConv, GINConv, Linear, SAGEConv, relu, sigmoid
+from .layers import (
+    GATConv,
+    GCNConv,
+    GINConv,
+    GraphConv,
+    Linear,
+    SAGEConv,
+    relu,
+    sigmoid,
+)
 
 
 class GCNNodeModel:
@@ -207,6 +216,21 @@ def sage_node_model(
     prev = in_features
     for c in conv_channels:
         convs.append(SAGEConv(prev, c))
+        prev = c
+    return ConvStackNodeModel(convs, fc_channels, out_features)
+
+
+def graph_conv_node_model(
+    in_features: int,
+    conv_channels: Sequence[int] = (16,),
+    fc_channels: Sequence[int] = (16, 16, 32),
+    out_features: int = 1,
+) -> ConvStackNodeModel:
+    """GraphConv stack + FC head (PyG ``GraphConv`` sum-aggregation)."""
+    convs = []
+    prev = in_features
+    for c in conv_channels:
+        convs.append(GraphConv(prev, c))
         prev = c
     return ConvStackNodeModel(convs, fc_channels, out_features)
 

@@ -205,6 +205,30 @@ def sage_node_model_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"conv": conv_params, "fc": fc}
 
 
+def graph_conv_node_model_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """PyG ``GraphConv`` layout: ``conv.{2i}.lin_rel.{weight,bias}``
+    (weighted-sum aggregated neighbours) + ``conv.{2i}.lin_root.weight``
+    (root, no bias)."""
+    conv_params = []
+    i = 0
+    while f"conv.{2 * i}.lin_rel.weight" in sd:
+        pre = f"conv.{2 * i}."
+        p = {
+            "lin_rel": {"weight": _j(sd[pre + "lin_rel.weight"])},
+            "lin_root": {"weight": _j(sd[pre + "lin_root.weight"])},
+        }
+        if pre + "lin_rel.bias" in sd:
+            p["lin_rel"]["bias"] = _j(sd[pre + "lin_rel.bias"])
+        conv_params.append(p)
+        i += 1
+    fc = _fc_params(sd)
+    if not conv_params or not fc:
+        raise ValueError(
+            "state dict does not look like a GraphConv conv+fc stack"
+        )
+    return {"conv": conv_params, "fc": fc}
+
+
 def gin_node_model_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """PyG ``GINConv`` layout: ``conv.{2i}.nn.{2j}.{weight,bias}`` MLP keys
     plus optional ``conv.{2i}.eps``."""

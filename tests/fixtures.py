@@ -202,6 +202,33 @@ def dense_sage_conv(
     return out
 
 
+def dense_graph_conv(
+    x: np.ndarray,
+    edge_index: np.ndarray,
+    w_rel: np.ndarray,
+    b_rel: np.ndarray | None,
+    w_root: np.ndarray,
+    edge_keep: np.ndarray | None = None,
+) -> np.ndarray:
+    """PyG GraphConv oracle: ``lin_rel(sum_in(x_u)) + lin_root(x)`` (sum
+    over kept in-edges)."""
+    n = x.shape[0]
+    src, dst = edge_index
+    keep = (
+        np.ones(src.shape[0], bool) if edge_keep is None
+        else edge_keep.astype(bool)
+    )
+    x64 = x.astype(np.float64)
+    agg = np.zeros_like(x64)
+    for i in range(src.shape[0]):
+        if keep[i]:
+            agg[dst[i]] += x64[src[i]]
+    out = agg @ w_rel.T.astype(np.float64) + x64 @ w_root.T.astype(np.float64)
+    if b_rel is not None:
+        out = out + b_rel
+    return out
+
+
 def dense_gin_conv(
     x: np.ndarray,
     edge_index: np.ndarray,

@@ -336,6 +336,79 @@ class TestSAGEConv:
         np.testing.assert_allclose(np.asarray(out)[:16], oracle, rtol=1e-5, atol=1e-5)
 
 
+class TestGraphConv:
+    def test_matches_dense_oracle_masked(self):
+        from fixtures import dense_graph_conv
+        from bikg_graph_explainability_public_tpu.models.layers import GraphConv
+
+        feat, ei, _ = make_graph(n=16, f=6, e=36, seed=27)
+        keep = np.random.default_rng(3).random(36) > 0.35
+        g = from_arrays(feat, ei, edge_budget=36)
+        conv = GraphConv(6, 5)
+        params = conv.init(jax.random.PRNGKey(7))
+        out = conv.apply(
+            params, g.x, g.senders, g.receivers,
+            jnp.asarray(keep.astype(np.float32)),
+        )
+        oracle = dense_graph_conv(
+            feat, ei,
+            np.asarray(params["lin_rel"]["weight"]),
+            np.asarray(params["lin_rel"]["bias"]),
+            np.asarray(params["lin_root"]["weight"]),
+            edge_keep=keep,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out)[:16], oracle, rtol=1e-5, atol=1e-5
+        )
+
+    def test_torch_state_dict_import_roundtrip(self):
+        """A torch GraphConv-style state dict imports and forward-matches
+        the torch implementation of the documented semantics."""
+        import torch
+
+        from bikg_graph_explainability_public_tpu.models.torch_import import (
+            graph_conv_node_model_params,
+        )
+        import bikg_graph_explainability_public_tpu as px
+
+        tg = torch.Generator().manual_seed(5)
+        f, h = 6, 4
+        sd = {
+            "conv.0.lin_rel.weight": torch.randn(h, f, generator=tg) * 0.3,
+            "conv.0.lin_rel.bias": torch.randn(h, generator=tg) * 0.1,
+            "conv.0.lin_root.weight": torch.randn(h, f, generator=tg) * 0.3,
+            "fc.0.weight": torch.randn(1, h, generator=tg) * 0.3,
+            "fc.0.bias": torch.randn(1, generator=tg) * 0.1,
+        }
+        params = graph_conv_node_model_params(
+            {k: v.numpy() for k, v in sd.items()}
+        )
+        mdef = px.graph_conv_node_model(
+            f, conv_channels=(h,), fc_channels=(h,)
+        )
+        feat, ei, _ = make_graph(n=12, f=f, e=30, seed=41)
+        g = from_arrays(feat, ei, edge_budget=30)
+        out = mdef.apply(
+            params, g.x, g.senders, g.receivers,
+            jnp.ones(30, jnp.float32),
+        )
+        # torch oracle of the same semantics
+        with torch.no_grad():
+            xt = torch.tensor(feat)
+            agg = torch.zeros_like(xt)
+            for s, d in zip(*ei):
+                agg[d] += xt[s]
+            hdd = torch.relu(
+                agg @ sd["conv.0.lin_rel.weight"].T
+                + sd["conv.0.lin_rel.bias"]
+                + xt @ sd["conv.0.lin_root.weight"].T
+            )
+            ref = torch.sigmoid(hdd @ sd["fc.0.weight"].T + sd["fc.0.bias"])
+        np.testing.assert_allclose(
+            np.asarray(out)[:12], ref.numpy(), rtol=1e-4, atol=1e-4
+        )
+
+
 class TestGINConv:
     def test_matches_dense_oracle_masked(self):
         from fixtures import dense_gin_conv
@@ -485,6 +558,8 @@ class TestNewFamiliesExplain:
             px.sage_node_model(6, conv_channels=(4,), fc_channels=(4, 4)),
             px.gin_node_model(6, conv_channels=(4,), mlp_hidden=4,
                               fc_channels=(4, 4)),
+            px.graph_conv_node_model(6, conv_channels=(4,),
+                                     fc_channels=(4, 4)),
         ]:
             model = Model(mdef, mdef.init(jax.random.PRNGKey(1)))
             cv, _ = px.Explainer(feat, ei, model, cfg, names).run("3", times=1)
