@@ -264,9 +264,18 @@ def _unpack_mask_bits(packed, width: int):
 
 
 def _masks_in(masks, width: int):
-    """Accept either raw bool masks or packbits-compressed uint8 rows."""
+    """Accept either raw bool masks or packbits-compressed uint8 rows.
+
+    Raw masks MUST be bool — a uint8 input is only treated as bit-packed
+    when its trailing dim matches ``ceil(width/8)`` and differs from
+    ``width``; a genuine [M, width] 0/1 uint8 array is cast to bool instead
+    of being misread as packed bytes.
+    """
     if masks is not None and masks.dtype == jnp.uint8:
-        return _unpack_mask_bits(masks, width)
+        packed_cols = -(-width // 8)
+        if masks.shape[-1] == packed_cols and packed_cols != width:
+            return _unpack_mask_bits(masks, width)
+        return masks.astype(bool)
     return masks
 
 

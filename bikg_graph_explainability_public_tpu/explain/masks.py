@@ -148,11 +148,15 @@ def sample_community_mask(
 
     The reference builds this block-by-block in a Python loop with per-block
     draws (``masks.py:322-348``); profiled at ~70% of community-mode time
-    here.  This implementation draws two uniform tensors for ALL blocks at
-    once and assembles every block with numpy vector ops: per-row antithetic
-    partners are index arithmetic, the community->element expansion is one
-    boolean matmul against the [P, width] membership matrix, and internal
-    bits overwrite own-community columns via a single ``where``.  Semantics
+    here.  This implementation draws two uniform tensors covering ALL rows at
+    once — external coalition bits at full ``[M, P]`` width and internal bits
+    only at the *maximum community width* (communities are typically
+    width/P columns wide, so a full-width internal draw wastes most of the
+    randoms) — and assembles every block with numpy vector ops: per-row
+    antithetic partners are index arithmetic, the community->element
+    expansion is one matmul against the [P, width] membership matrix, and
+    internal bits land in own-community columns via per-block contiguous-row
+    slice assignment (each block's rows share one column set).  Semantics
     (internal bits / antithetic external coalitions / dead-mask reactivation
     / budget cap / biggest-first subsample) are unchanged — asserted by the
     coalition-validity tests.  ``key`` may be a jax PRNG key or a numpy
@@ -232,7 +236,9 @@ def sample_community_mask(
     # community coalition -> element bits: one boolean matmul (elements in
     # several coalition communities OR together, like the reference's
     # scatter-or over the segment table)
-    full = pm.astype(np.uint8) @ mem.astype(np.uint8) > 0
+    # uint16 accumulator: a uint8 matmul would wrap to 0 for an element
+    # shared by a multiple of 256 coalition communities (P >= 256 pathways)
+    full = pm.astype(np.uint16) @ mem.astype(np.uint16) > 0
     # own-community columns carry the internal bits (reference
     # masks.py:322-340): per-block slice assignment — every row of a block
     # shares the same column set, so this is contiguous-row fancy indexing

@@ -135,18 +135,22 @@ def build_ell(
     if lib is not None:
         dropped = int(lib.build_ell(n, e, k, src, dst, nbr, eid, valid))
         return nbr, eid, valid.astype(bool), dropped
-    fill = np.zeros(n, np.int64)
-    dropped = 0
-    for i in range(e):
-        v = dst[i]
-        f = fill[v]
-        if f >= k:
-            dropped += 1
-            continue
-        nbr[v, f] = src[i]
-        eid[v, f] = i
-        valid[v, f] = 1
-        fill[v] = f + 1
+    # vectorized fallback (same argsort/cumsum pattern as the compact-plan
+    # builder, spmm_pallas.py): a stable sort by receiver preserves edge
+    # order within each row, so `position - group_start` IS the slot the
+    # edge-order loop would assign; slots >= k are the dropped tail.
+    order = np.argsort(dst, kind="stable")
+    counts = np.bincount(dst, minlength=n)
+    group_start = np.zeros(n, np.int64)
+    np.cumsum(counts[:-1], out=group_start[1:])
+    slot = np.arange(e, dtype=np.int64) - np.repeat(group_start, counts)
+    keep = slot < k
+    rows = dst[order][keep]
+    cols = slot[keep]
+    nbr[rows, cols] = src[order][keep]
+    eid[rows, cols] = order[keep].astype(np.int32)
+    valid[rows, cols] = 1
+    dropped = int(e - keep.sum())
     return nbr, eid, valid.astype(bool), dropped
 
 

