@@ -32,7 +32,9 @@ from .models.gnn import (
     ConvStackNodeModel,
     GCNNodeModel,
     HeteroGNN,
+    RGCNNodeModel,
     gat_node_model,
+    gatv2_node_model,
     gin_node_model,
     graph_conv_node_model,
     hetero_gcn_for_relations,
@@ -42,9 +44,11 @@ from .models.gnn import (
 from .models.layers import (
     GCNConv,
     GATConv,
+    GATv2Conv,
     GINConv,
     GraphConv,
     Linear,
+    RGCNConv,
     SAGEConv,
 )
 from .compat import Data, Kernel, Mask, LinearRegression
@@ -78,15 +82,19 @@ __all__ = [
     "GCNNodeModel",
     "HeteroGNN",
     "gat_node_model",
+    "gatv2_node_model",
     "gin_node_model",
     "graph_conv_node_model",
     "sage_node_model",
     "hetero_gcn_for_relations",
     "hetero_gat_for_relations",
+    "RGCNNodeModel",
     "GCNConv",
     "GATConv",
+    "GATv2Conv",
     "GINConv",
     "GraphConv",
+    "RGCNConv",
     "SAGEConv",
     "Linear",
     "Data",

@@ -31,7 +31,7 @@ from ..ops.khop import extract_khop_subgraph
 from ..utils.prng import repeat_split_key_data
 from .masks import MaskSampler
 from .pathways import Pathways
-from .wlm import train_model
+from .wlm import train_model, train_model_repeats
 
 
 def set_seed(seed: int = 100) -> jax.Array:
@@ -322,13 +322,23 @@ class Explainer:
         # all repeats' (mask, init) key data in one compiled dispatch —
         # eager per-repeat fold_in/split each cost a device round trip
         kd = repeat_split_key_data(seed, times)  # [T, 2, 2]
-        for i in range(times):
-            k_mask, k_init = kd[i, 0], kd[i, 1]
-            with timer.phase("mask_sampling"):
-                mask, _tags, batch_size = sampler.sample(k_mask)
+        with timer.phase("mask_sampling"):
+            sampled = [sampler.sample(kd[i, 0]) for i in range(times)]
+        batch_size = sampled[0][2]
+        stackable = all(
+            s[0].shape == sampled[0][0].shape and s[2] == batch_size
+            for s in sampled
+        )
+        # repeats share one compiled dispatch chain (vmap over the repeat
+        # axis) unless the batched [T, M, S] f32 mask stack would exceed 1
+        # GiB of device memory — then fall back to the sequential loop
+        batched = stackable and (
+            times * sampled[0][0].size * 4 <= (1 << 30)
+        )
+        if batched:
             with timer.phase("surrogate_training"):
-                result = train_model(
-                    mask,
+                result = train_model_repeats(
+                    np.stack([s[0] for s in sampled]),
                     self.model,
                     sub_graph,
                     self.params,
@@ -336,14 +346,37 @@ class Explainer:
                     query,
                     elements,
                     batch_size,
-                    k_init,
+                    kd,
                     chunk_size=self.params.get("forward_chunk", None),
                 )
-                weights = np.asarray(result.weights)[:elements]
-            config_vals.append(weights)
+                weights_all = np.asarray(result.weights)[:, :elements]
+            config_vals = list(weights_all)
             if return_diagnostics:
-                diag["losses"].append(np.asarray(result.losses))
-                diag["best_epoch"].append(int(result.best_epoch))
+                losses = np.asarray(result.losses)
+                best = np.asarray(result.best_epoch)
+                diag["losses"] = [losses[i] for i in range(times)]
+                diag["best_epoch"] = [int(best[i]) for i in range(times)]
+        else:
+            for i in range(times):
+                mask, _tags, bsz = sampled[i][0], sampled[i][1], sampled[i][2]
+                with timer.phase("surrogate_training"):
+                    result = train_model(
+                        mask,
+                        self.model,
+                        sub_graph,
+                        self.params,
+                        self.problem,
+                        query,
+                        elements,
+                        bsz,
+                        kd[i, 1],
+                        chunk_size=self.params.get("forward_chunk", None),
+                    )
+                    weights = np.asarray(result.weights)[:elements]
+                config_vals.append(weights)
+                if return_diagnostics:
+                    diag["losses"].append(np.asarray(result.losses))
+                    diag["best_epoch"].append(int(result.best_epoch))
 
         mean_cv, std_cv = weight_stacking(config_vals)
         config_val_df = config_val_dataframe(mean_cv, std_cv, sub_names)

@@ -107,6 +107,78 @@ def train_surrogate(
     return TrainResult(weights=best_w, losses=losses, best_epoch=best_epoch)
 
 
+def _default_chunk(epochs: int, batch_size: int) -> int:
+    """Largest whole-epoch multiple of ``batch_size`` that stays <= 512
+    rows per compiled forward chunk."""
+    c = 1
+    for cand in range(epochs, 0, -1):
+        if epochs % cand == 0 and cand * batch_size <= 512:
+            c = cand
+            break
+    return c * batch_size
+
+
+def train_model_repeats(
+    masks: jax.Array,
+    model,
+    graph,
+    params: dict,
+    problem: str,
+    query: Optional[int],
+    num_elements: int,
+    batch_size: int,
+    keys: jax.Array,
+    chunk_size: Optional[int] = None,
+) -> TrainResult:
+    """All ``times`` repeats of the surrogate fit in O(1) device dispatches.
+
+    masks: [T, M, S] bool — repeat i's sampled mask rows; keys: [T, 2, 2]
+    uint32 key data (mask key unused here — masks are pre-sampled — init key
+    at [:, 1]).  The black-box forwards run as ONE chunked call over the
+    [T*M, S] row stack (rows are independent, so outputs match the
+    per-repeat calls), the KernelSHAP normalisation stays per-repeat via
+    vmap (its log-space max is taken within each repeat's rows, as the
+    sequential loop did), and Adam training vmaps over the repeat axis.
+    Returns a TrainResult with leading repeat dims: weights [T, S], losses
+    [T, epochs], best_epoch [T].
+
+    Replaces the reference's per-repeat Python loop
+    (``explainer.py:490-516``) which pays one dispatch chain per repeat —
+    ~10 tunnel round trips for ``times=10`` on a remote TPU.
+    """
+    t, m_used, width = masks.shape
+    epochs = m_used // batch_size
+    if chunk_size is None:
+        chunk_size = _default_chunk(epochs, batch_size)
+
+    flat = masks.reshape(t * m_used, width)
+    outputs = model.perturbed_query_outputs(
+        graph, flat, problem, query, chunk_size=chunk_size
+    ).reshape(t, m_used)
+    kernels = jax.vmap(
+        lambda mk: shap_kernel(mk, num_valid_columns=num_elements)
+    )(jnp.asarray(masks))
+    w0 = jax.vmap(
+        lambda kd: init_surrogate_weights(
+            jax.random.wrap_key_data(kd), width, num_elements
+        )
+    )(jnp.asarray(keys)[:, 1])
+
+    maskf = jnp.asarray(masks, jnp.float32).reshape(
+        t, epochs, batch_size, width
+    )
+    outputs = outputs.reshape(t, epochs, batch_size)
+    kernels = kernels.reshape(t, epochs, batch_size)
+    train = partial(
+        train_surrogate,
+        num_valid=num_elements,
+        lr=float(abs(params.get("lr", 0.01))),
+        l1_lambda=float(params.get("l1_lambda", 1e-4)),
+        weight_decay=float(params.get("weight_decay", 1e-2)),
+    )
+    return jax.vmap(train)(w0, maskf, outputs, kernels)
+
+
 def train_model(
     mask: jax.Array,
     model,

@@ -39,9 +39,19 @@ class Model:
         (``model.py:28-60``); here the model declares it exactly."""
         return self.model_def.num_hops
 
+    @property
+    def _typed(self) -> bool:
+        """Models whose forward takes (…, node_type, edge_type): HeteroGNN
+        and anything declaring ``typed = True`` (e.g. RGCNNodeModel) — the
+        framework's replacement for the reference's arity sniffing
+        (``model.py:104-112``)."""
+        return isinstance(self.model_def, HeteroGNN) or getattr(
+            self.model_def, "typed", False
+        )
+
     def forward_fn(self, graph: Graph) -> Callable[[jax.Array], jax.Array]:
         """Pure fn ``edge_weight -> per-node output`` with graph captured."""
-        if isinstance(self.model_def, HeteroGNN):
+        if self._typed:
             def fwd(ew):
                 return self.model_def.apply(
                     self.params,
@@ -112,14 +122,21 @@ class Model:
             and hasattr(self.model_def, "backbone")
             and hasattr(self.model_def, "head")
         )
+        typed = self._typed
 
         def one(m):
             mf = m.astype(graph.x.dtype)
             ew = base * (mf if is_edge else mf[snd] * mf[rcv])
             if split_head:
-                h = self.model_def.backbone(
-                    self.params, graph.x, snd, rcv, ew
-                )
+                if typed:
+                    h = self.model_def.backbone(
+                        self.params, graph.x, snd, rcv, ew,
+                        graph.node_type, graph.edge_type,
+                    )
+                else:
+                    h = self.model_def.backbone(
+                        self.params, graph.x, snd, rcv, ew
+                    )
                 return self.model_def.head(self.params, h[query][None, :])[0, 0]
             out = fwd(ew)
             if is_graph:

@@ -17,10 +17,12 @@ import jax
 
 from .layers import (
     GATConv,
+    GATv2Conv,
     GCNConv,
     GINConv,
     GraphConv,
     Linear,
+    RGCNConv,
     SAGEConv,
     relu,
     sigmoid,
@@ -191,18 +193,132 @@ def gat_node_model(
     fc_channels: Sequence[int] = (16, 16, 32),
     out_features: int = 1,
     add_self_loops: bool = True,
+    concat: bool = True,
 ) -> ConvStackNodeModel:
     """Homogeneous GAT stack + FC head (PyG ``GATConv`` defaults: shared
     src/dst linear map imported from one ``lin_src`` weight, unit self-loops
-    in the softmax)."""
+    in the softmax).  ``heads``/``concat`` follow PyG: concatenated heads
+    widen the layer output to ``heads * channels``; ``concat=False``
+    averages heads."""
     convs = []
     prev = in_features
     for c in conv_channels:
         convs.append(
-            GATConv((prev, prev), c, heads=heads, add_self_loops=add_self_loops)
+            GATConv(
+                (prev, prev), c, heads=heads,
+                add_self_loops=add_self_loops, concat=concat,
+            )
         )
-        prev = c * heads
+        prev = c * heads if concat else c
     return ConvStackNodeModel(convs, fc_channels, out_features)
+
+
+def gatv2_node_model(
+    in_features: int,
+    conv_channels: Sequence[int] = (16,),
+    heads: int = 1,
+    fc_channels: Sequence[int] = (16, 16, 32),
+    out_features: int = 1,
+    add_self_loops: bool = True,
+    concat: bool = True,
+    share_weights: bool = False,
+) -> ConvStackNodeModel:
+    """Homogeneous GATv2 stack + FC head (PyG ``GATv2Conv`` semantics)."""
+    convs = []
+    prev = in_features
+    for c in conv_channels:
+        convs.append(
+            GATv2Conv(
+                (prev, prev), c, heads=heads,
+                add_self_loops=add_self_loops, concat=concat,
+                share_weights=share_weights,
+            )
+        )
+        prev = c * heads if concat else c
+    return ConvStackNodeModel(convs, fc_channels, out_features)
+
+
+class RGCNNodeModel:
+    """Relational-GCN stack + FC head over a typed homogeneous graph.
+
+    Unlike :class:`HeteroGNN` (a dict of per-relation convs, the
+    ``HeteroConv`` analogue), this is the PyG ``RGCNConv`` usage pattern:
+    one conv per layer handling all relations through a [R, in, out] weight
+    tensor, optionally basis-decomposed.  Declares ``typed = True`` so the
+    adapter passes ``node_type``/``edge_type`` (the framework's replacement
+    for the reference's arity sniffing, ``model.py:104-112``).
+    """
+
+    typed = True
+
+    def __init__(
+        self,
+        in_features: int,
+        num_relations: int,
+        conv_channels: Sequence[int] = (16,),
+        num_bases: int | None = None,
+        fc_channels: Sequence[int] = (16, 16, 32),
+        out_features: int = 1,
+        final_activation: Callable = sigmoid,
+    ):
+        self.in_features = in_features
+        self.num_relations = num_relations
+        self.final_activation = final_activation
+        self.convs: List[RGCNConv] = []
+        prev = in_features
+        for c in conv_channels:
+            self.convs.append(RGCNConv(prev, c, num_relations, num_bases))
+            prev = c
+        self.fc_channels = tuple(fc_channels)
+        self.out_features = out_features
+        self.fcs: List[Linear] = []
+        for i, c in enumerate(self.fc_channels):
+            nxt = (
+                self.fc_channels[i + 1]
+                if i + 1 < len(self.fc_channels)
+                else out_features
+            )
+            self.fcs.append(Linear(c, nxt))
+
+    @property
+    def num_hops(self) -> int:
+        """Receptive-field depth = number of conv layers."""
+        return len(self.convs)
+
+    def init(self, key: jax.Array) -> Dict[str, Any]:
+        """Initialize all layer parameters as one pytree."""
+        kc = jax.random.split(key, len(self.convs) + len(self.fcs))
+        return {
+            "conv": [m.init(k) for m, k in zip(self.convs, kc[: len(self.convs)])],
+            "fc": [m.init(k) for m, k in zip(self.fcs, kc[len(self.convs) :])],
+        }
+
+    def backbone(
+        self, params, x, senders, receivers, edge_weight, node_type, edge_type
+    ) -> jax.Array:
+        """Relational conv stack: per-node hidden representations."""
+        for conv, p in zip(self.convs, params["conv"]):
+            x = relu(
+                conv.apply(p, x, senders, receivers, edge_weight, edge_type)
+            )
+        return x
+
+    def head(self, params, x: jax.Array) -> jax.Array:
+        """FC head + final activation."""
+        n = len(self.fcs)
+        for i, (fc, p) in enumerate(zip(self.fcs, params["fc"])):
+            x = fc.apply(p, x)
+            x = self.final_activation(x) if i == n - 1 else relu(x)
+        return x
+
+    def apply(
+        self, params, x, senders, receivers, edge_weight, node_type, edge_type
+    ) -> jax.Array:
+        """Full typed forward on the homogenized graph."""
+        h = self.backbone(
+            params, x, senders, receivers, edge_weight, node_type, edge_type
+        )
+        return self.head(params, h)
 
 
 def sage_node_model(

@@ -146,6 +146,100 @@ def gat_node_model_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"conv": conv_params, "fc": fc}
 
 
+def gat_config_from_state_dict(sd: Dict[str, np.ndarray]):
+    """Infer per-layer (heads, channels, concat) for a GAT/GATv2 conv stack.
+
+    Heads and channels come from the attention parameter shapes
+    (``att_src``/``att`` are [1, H, C]); concat from the final bias length
+    ([H*C] concat vs [C] mean) with layer-width chaining as the fallback
+    when a layer has no bias.  Lets callers build the matching
+    :func:`..gnn.gat_node_model` / :func:`..gnn.gatv2_node_model` without
+    hand-specifying the architecture (the reference accepts any module
+    as-is via arity dispatch, ``model.py:62-116``).
+    """
+    layers = []
+    i = 0
+    while True:
+        pre = f"conv.{2 * i}."
+        att_key = next(
+            (k for k in (pre + "att_src", pre + "att") if k in sd), None
+        )
+        if att_key is None:
+            break
+        _, h, c = sd[att_key].shape
+        bias = sd.get(pre + "bias")
+        if bias is not None:
+            concat = bias.shape[0] == h * c or h == 1
+        else:
+            concat = True
+        layers.append({"heads": int(h), "channels": int(c), "concat": concat})
+        i += 1
+    if not layers:
+        raise ValueError("state dict has no GAT-style attention parameters")
+    return layers
+
+
+def gatv2_node_model_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map a homogeneous GATv2 state dict to :func:`..gnn.gatv2_node_model`
+    params.
+
+    PyG 2.x ``GATv2Conv`` layout: ``conv.{2i}.lin_l.{weight,bias}``,
+    ``conv.{2i}.lin_r.{weight,bias}`` (equal to ``lin_l`` when
+    ``share_weights``), ``conv.{2i}.att`` [1, H, C], ``conv.{2i}.bias``;
+    plus the ``fc.*`` head.
+    """
+    conv_params = []
+    i = 0
+    while True:
+        pre = f"conv.{2 * i}."
+        if pre + "lin_l.weight" not in sd:
+            break
+        lin_l = {"weight": _j(sd[pre + "lin_l.weight"])}
+        if pre + "lin_l.bias" in sd:
+            lin_l["bias"] = _j(sd[pre + "lin_l.bias"])
+        lin_r = {
+            "weight": _j(sd.get(pre + "lin_r.weight", sd[pre + "lin_l.weight"]))
+        }
+        rb = sd.get(pre + "lin_r.bias", sd.get(pre + "lin_l.bias"))
+        if rb is not None:
+            lin_r["bias"] = _j(rb)
+        p = {"lin_l": lin_l, "lin_r": lin_r, "att": _j(sd[pre + "att"])}
+        if pre + "bias" in sd:
+            p["bias"] = _j(sd[pre + "bias"])
+        conv_params.append(p)
+        i += 1
+    fc = _fc_params(sd)
+    if not conv_params or not fc:
+        raise ValueError("state dict does not look like a GATv2 conv+fc stack")
+    return {"conv": conv_params, "fc": fc}
+
+
+def rgcn_node_model_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map a homogeneous RGCN state dict to :class:`..gnn.RGCNNodeModel`
+    params.
+
+    PyG ``RGCNConv`` layout (NOT nn.Linear-transposed):
+    ``conv.{2i}.weight`` [R, in, out] (or [num_bases, in, out] with
+    ``conv.{2i}.comp`` [R, num_bases]), ``conv.{2i}.root`` [in, out],
+    ``conv.{2i}.bias`` [out]; plus the ``fc.*`` head.
+    """
+    conv_params = []
+    i = 0
+    while f"conv.{2 * i}.weight" in sd and f"conv.{2 * i}.root" in sd:
+        pre = f"conv.{2 * i}."
+        p = {"weight": _j(sd[pre + "weight"]), "root": _j(sd[pre + "root"])}
+        if pre + "comp" in sd:
+            p["comp"] = _j(sd[pre + "comp"])
+        if pre + "bias" in sd:
+            p["bias"] = _j(sd[pre + "bias"])
+        conv_params.append(p)
+        i += 1
+    fc = _fc_params(sd)
+    if not conv_params or not fc:
+        raise ValueError("state dict does not look like an RGCN conv+fc stack")
+    return {"conv": conv_params, "fc": fc}
+
+
 def hetero_gat_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     """Map a HeteroConv-of-GATConv state dict (the reference hetero *test*
     architecture, ``/root/reference/tests/test_utils.py:86-182``) to

@@ -181,14 +181,31 @@ def build_compact_plan(
 
 
 def _kernel(cnt_ref, src_ref, dst_ref, w_ref, x_hbm, out_ref,
-            gbuf, sems, *, tr, k, b, f, g, wb, mxu):
-    """One grid step ``s`` of NB+1: ISSUE block s's row DMAs (its plan
-    indices are this step's SMEM block), then WAIT + REDUCE block s-1 (whose
-    DMAs were issued at step s-1 and transferred during it).  The schedule is
-    shifted by one step so HBM transfers always overlap a full step of
-    scalar issue work + reduce — the cross-block double buffer."""
+            gbuf, sems, *, tr, k, b, f, g, wb, mxu, ablate=""):
+    """One grid step ``s`` of NB+2 in the v3 triple-buffered schedule:
+
+    1. ISSUE block s's row DMAs into slot s%3 (plan indices are this step's
+       SMEM block);
+    2. REDUCE block s-2 from slot (s-2)%3 — its rows were *waited* at step
+       s-1, so the reduce is enqueued to the vector units BEFORE this step's
+       semaphore waits: the MXU/VPU crunch block s-2 while the scalar core
+       blocks on block s-1's DMAs (measured: in the v2 two-slot schedule the
+       reduce and the waits serialised — full = noreduce + onlyreduce almost
+       exactly, benchmarks/exp_spmm_attrib.py);
+    3. WAIT block s-1's transferred rows (slot (s-1)%3).
+
+    Slot s%3's previous reader is block s-3's reduce at step s-1, so the
+    issue never overwrites rows still being read one step back.
+
+    ``ablate`` (benchmarks/exp_spmm_attrib.py only — "" in production)
+    disables pieces to attribute where the wall-clock goes: "noreduce"
+    (out=0; times issue+wait+transfer), "nomatmul" (copy instead of the
+    K-reduce; times everything but the reduce FLOPs), "onlyreduce" (no
+    DMAs; times reduce+grid overhead on stale data), "none" (empty body;
+    grid/pipeline overhead).  Ablated kernels return garbage outputs.
+    """
     s = pl.program_id(0)
-    nb = pl.num_programs(0) - 1
+    nb = pl.num_programs(0) - 2
     rows = tr * k
 
     def start_dma(slot, rr, ln):
@@ -198,74 +215,71 @@ def _kernel(cnt_ref, src_ref, dst_ref, w_ref, x_hbm, out_ref,
             sems.at[slot],
         )
 
-    # 1. issue block s's DMAs into gather slot s%2, ALL on the slot's one
+    # 1. issue block s's DMAs into gather slot s%3, ALL on the slot's one
     #    semaphore (DMA semaphores count bytes, so the drain below consumes
     #    whole chunks with aggregated waits).  Entries are grouped by run
     #    length: multi-row classes first (one scalar issue covers up to 16
     #    rows), then the single-row tail chunk-unrolled.
-    @pl.when(s < nb)
-    def _():
-        if mxu:
-            # never-DMA'd slots flow through the matmul: 0 * uninitialised-
-            # NaN would poison it, so zero both slots once (afterwards stale
-            # slots hold the previous block's finite rows)
-            @pl.when(s == 0)
-            def _():
-                gbuf[0] = jnp.zeros_like(gbuf[0])
-                gbuf[1] = jnp.zeros_like(gbuf[1])
+    issue_on = ablate not in ("onlyreduce", "none")
+    wait_on = issue_on
+    if issue_on:
+        @pl.when(s < nb)
+        def _():
+            if mxu:
+                # never-DMA'd slots flow through the matmul: 0 *
+                # uninitialised-NaN would poison it, so zero the slots once
+                # (afterwards stale slots hold an earlier block's finite
+                # rows)
+                @pl.when(s == 0)
+                def _():
+                    gbuf[0] = jnp.zeros_like(gbuf[0])
+                    gbuf[1] = jnp.zeros_like(gbuf[1])
+                    gbuf[2] = jnp.zeros_like(gbuf[2])
 
-        slot = jax.lax.rem(s, 2)
-        base = 0
-        for ci, cl in enumerate(_RUN_CLASSES[:-1]):
-            c_cl = cnt_ref[s * _NCNT + ci]
+            slot = jax.lax.rem(s, 3)
+            base = 0
+            for ci, cl in enumerate(_RUN_CLASSES[:-1]):
+                c_cl = cnt_ref[s * _NCNT + ci]
 
-            def body(i, _, b0=base, ln=cl):
-                start_dma(slot, b0 + i, ln).start()
+                def body(i, _, b0=base, ln=cl):
+                    start_dma(slot, b0 + i, ln).start()
+                    return 0
+
+                jax.lax.fori_loop(0, c_cl, body, 0, unroll=False)
+                base = base + c_cl
+            c1 = cnt_ref[s * _NCNT + len(_RUN_CLASSES) - 1]
+            nch = c1 // g
+
+            def body1(ci, _, b0=base):
+                off = b0 + ci * g
+                for j in range(g):
+                    start_dma(slot, off + j, 1).start()
                 return 0
 
-            jax.lax.fori_loop(0, c_cl, body, 0, unroll=False)
-            base = base + c_cl
-        c1 = cnt_ref[s * _NCNT + len(_RUN_CLASSES) - 1]
-        nch = c1 // g
-
-        def body1(ci, _, b0=base):
-            off = b0 + ci * g
+            jax.lax.fori_loop(0, nch, body1, 0, unroll=False)
+            tail = base + nch * g
             for j in range(g):
-                start_dma(slot, off + j, 1).start()
-            return 0
+                @pl.when(nch * g + j < c1)
+                def _():
+                    start_dma(slot, tail + j, 1).start()
 
-        jax.lax.fori_loop(0, nch, body1, 0, unroll=False)
-        tail = base + nch * g
-        for j in range(g):
-            @pl.when(nch * g + j < c1)
-            def _():
-                start_dma(slot, tail + j, 1).start()
+    if ablate == "none":
+        return
 
-    # 2. drain + reduce block s-1 from the other slot.  A wait consumes
-    #    (semaphore, descriptor size) only — offsets are irrelevant — so the
-    #    drain uses g-row descriptors against the total transferred ROW
-    #    count: one scalar wait per g rows (per-row start+wait scalar work
-    #    is the kernel's roofline)
-    @pl.when(s >= 1)
+    # 2. reduce block s-2 (waited last step) — enqueued to the vector units
+    #    before the scalar core blocks on block s-1's semaphore below
+    @pl.when(s >= 2)
     def _():
-        slot = jax.lax.rem(s - 1, 2)
-        rows_total = cnt_ref[(s - 1) * _NCNT + len(_RUN_CLASSES)]
-        nch = rows_total // g
-
-        def wait_rows(r):
-            return pltpu.make_async_copy(
-                x_hbm.at[pl.ds(0, r)],
-                gbuf.at[slot, pl.ds(0, r)],
-                sems.at[slot],
+        slot = jax.lax.rem(s - 2, 3)
+        if ablate == "noreduce":
+            out_ref[:] = jnp.zeros_like(out_ref)
+        elif ablate == "nomatmul":
+            out_ref[:] = gbuf[slot, :tr].reshape(tr, b * f).astype(jnp.float32)
+        elif ablate == "sumreduce":
+            out_ref[:] = (
+                gbuf[slot].astype(jnp.float32).reshape(tr, k, b * f).sum(1)
             )
-
-        jax.lax.fori_loop(0, nch, lambda ci, _: (wait_rows(g).wait(), 0)[1],
-                          0, unroll=False)
-        for j in range(g):
-            @pl.when(nch * g + j < rows_total)
-            def _():
-                wait_rows(1).wait()
-        if mxu:
+        elif mxu:
             # block-diagonal MXU reduce: W[t, j] = w[j] where j // K == t
             row_ids = jax.lax.broadcasted_iota(jnp.int32, (tr, rows), 0)
             seg_ids = jax.lax.broadcasted_iota(jnp.int32, (tr, rows), 1) // k
@@ -286,9 +300,36 @@ def _kernel(cnt_ref, src_ref, dst_ref, w_ref, x_hbm, out_ref,
             msg = jnp.where(wk != 0.0, wk * g4.astype(jnp.float32), 0.0)
             out_ref[:] = msg.sum(axis=1).reshape(tr, b * f)
 
+    # 3. drain block s-1's rows.  A wait consumes (semaphore, descriptor
+    #    size) only — offsets are irrelevant — so the drain uses g-row
+    #    descriptors against the total transferred ROW count: one scalar
+    #    wait per g rows.  The scalar core idles here while the vector units
+    #    run the reduce enqueued above.
+    if wait_on:
+        @pl.when((s >= 1) & (s <= nb))
+        def _():
+            slot = jax.lax.rem(s - 1, 3)
+            rows_total = cnt_ref[(s - 1) * _NCNT + len(_RUN_CLASSES)]
+            nch = rows_total // g
+
+            def wait_rows(r):
+                return pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(0, r)],
+                    gbuf.at[slot, pl.ds(0, r)],
+                    sems.at[slot],
+                )
+
+            jax.lax.fori_loop(
+                0, nch, lambda ci, _: (wait_rows(g).wait(), 0)[1],
+                0, unroll=False)
+            for j in range(g):
+                @pl.when(nch * g + j < rows_total)
+                def _():
+                    wait_rows(1).wait()
+
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tr", "b", "n", "interpret")
+    jax.jit, static_argnames=("k", "tr", "b", "n", "interpret", "ablate")
 )
 def spmm_ell_pallas(
     plan_src: jax.Array,   # CompactPlan.src
@@ -302,6 +343,7 @@ def spmm_ell_pallas(
     b: int = 1,
     n: Optional[int] = None,
     interpret: bool = False,
+    ablate: str = "",
 ) -> jax.Array:            # [N, W] f32
     """Blocked-ELL SpMM kernel: out[v] = sum_k w[v,k] * feats[nbr[v,k]]."""
     mxu = w_slot.ndim == 2
@@ -330,19 +372,19 @@ def spmm_ell_pallas(
     while rows % g:
         g //= 2
     kern = functools.partial(
-        _kernel, tr=tr, k=k, b=b, f=f, g=g, wb=wb, mxu=mxu
+        _kernel, tr=tr, k=k, b=b, f=f, g=g, wb=wb, mxu=mxu, ablate=ablate
     )
     x3 = feats.reshape(feats.shape[0], w_width // 128, 128)
-    gbuf_bytes = 2 * rows * w_width * feats.dtype.itemsize
+    gbuf_bytes = 3 * rows * w_width * feats.dtype.itemsize
     last = nb_blocks - 1
-    # the grid runs NB+1 steps: step s issues block s's DMAs (plan indices
-    # pipelined into SMEM this step) and reduces block s-1.  Index maps are
-    # therefore shifted: plan blocks lead by 0, weight/output blocks trail
-    # by 1 (clamped at the edges; the step-0 output block is written at
-    # step 1 — Pallas keeps revisited blocks resident).
+    # the grid runs NB+2 steps (v3 triple buffer): step s issues block s's
+    # DMAs (plan indices pipelined into SMEM this step), reduces block s-2,
+    # and waits on block s-1.  Index maps are therefore shifted: plan blocks
+    # lead by 0, weight/output blocks trail by 2 (clamped at the edges;
+    # Pallas keeps revisited blocks resident).
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb_blocks + 1,),
+        grid=(nb_blocks + 2,),
         in_specs=[
             # plan blocks are [NB, 1, TR*K] so the (1, 1, TR*K) block's last
             # two dims equal the array's (the Pallas block-shape rule)
@@ -354,19 +396,19 @@ def spmm_ell_pallas(
                          memory_space=pltpu.SMEM),  # plan dst
             pl.BlockSpec(
                 w_block,
-                (lambda s, c: (jnp.maximum(s - 1, 0), 0, 0))
+                (lambda s, c: (jnp.maximum(s - 2, 0), 0, 0))
                 if mxu
-                else (lambda s, c: (jnp.maximum(s - 1, 0), 0)),
+                else (lambda s, c: (jnp.maximum(s - 2, 0), 0)),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY),  # feats (HBM)
         ],
         out_specs=pl.BlockSpec((tr, w_width),
-                               lambda s, c: (jnp.maximum(s - 1, 0), 0),
+                               lambda s, c: (jnp.maximum(s - 2, 0), 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, w_width // 128, 128), feats.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3, rows, w_width // 128, 128), feats.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
     )
     out = pl.pallas_call(

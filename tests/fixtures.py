@@ -252,3 +252,134 @@ def dense_gin_conv(
         if li != len(mlp) - 1:
             h = np.maximum(h, 0.0)
     return h
+
+
+def dense_gat_multihead(
+    x: np.ndarray,
+    edge_index: np.ndarray,
+    lin_src: np.ndarray,  # [H*C, in]
+    att_src: np.ndarray,  # [1, H, C]
+    att_dst: np.ndarray,
+    bias: np.ndarray | None = None,
+    lin_dst: np.ndarray | None = None,
+    negative_slope: float = 0.2,
+    edge_keep: np.ndarray | None = None,
+    add_self_loops: bool = True,
+    concat: bool = True,
+) -> np.ndarray:
+    """Multi-head GATConv oracle: per-head masked softmax attention, heads
+    concatenated ([N, H*C]) or averaged ([N, C])."""
+    n = x.shape[0]
+    _, h, c = att_src.shape
+    xs = (x.astype(np.float64) @ lin_src.T.astype(np.float64)).reshape(n, h, c)
+    w_dst = lin_src if lin_dst is None else lin_dst
+    xd = (x.astype(np.float64) @ w_dst.T.astype(np.float64)).reshape(n, h, c)
+    a_s = (xs * att_src.astype(np.float64)).sum(-1)  # [N, H]
+    a_d = (xd * att_dst.astype(np.float64)).sum(-1)
+    src, dst = edge_index
+    keep = np.ones(src.shape[0], bool) if edge_keep is None else edge_keep.astype(bool)
+    out = np.zeros((n, h, c), np.float64)
+    for v in range(n):
+        inc = [i for i in range(src.shape[0]) if dst[i] == v and keep[i]]
+        srcs = [src[i] for i in inc] + ([v] if add_self_loops else [])
+        if not srcs:
+            continue
+        for head in range(h):
+            logits = np.array([a_s[u, head] + a_d[v, head] for u in srcs])
+            logits = np.where(logits >= 0, logits, negative_slope * logits)
+            logits -= logits.max()
+            alpha = np.exp(logits)
+            alpha /= alpha.sum()
+            for a_i, u in zip(alpha, srcs):
+                out[v, head] += a_i * xs[u, head]
+    out = out.reshape(n, h * c) if concat else out.mean(axis=1)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def dense_gatv2_conv(
+    x: np.ndarray,
+    edge_index: np.ndarray,
+    lin_l: np.ndarray,  # [H*C, in]
+    lin_r: np.ndarray,
+    att: np.ndarray,  # [1, H, C]
+    bias: np.ndarray | None = None,
+    bias_l: np.ndarray | None = None,
+    bias_r: np.ndarray | None = None,
+    negative_slope: float = 0.2,
+    edge_keep: np.ndarray | None = None,
+    add_self_loops: bool = True,
+    concat: bool = True,
+) -> np.ndarray:
+    """GATv2Conv oracle: e_ij = att . leaky_relu(lin_l(x_j) + lin_r(x_i)),
+    out_i = sum_j alpha_ij lin_l(x_j)."""
+    n = x.shape[0]
+    _, h, c = att.shape
+    xl = x.astype(np.float64) @ lin_l.T.astype(np.float64)
+    xr = x.astype(np.float64) @ lin_r.T.astype(np.float64)
+    if bias_l is not None:
+        xl = xl + bias_l
+    if bias_r is not None:
+        xr = xr + bias_r
+    xl = xl.reshape(n, h, c)
+    xr = xr.reshape(n, h, c)
+    src, dst = edge_index
+    keep = np.ones(src.shape[0], bool) if edge_keep is None else edge_keep.astype(bool)
+    out = np.zeros((n, h, c), np.float64)
+    att64 = att.astype(np.float64)[0]  # [H, C]
+    for v in range(n):
+        inc = [i for i in range(src.shape[0]) if dst[i] == v and keep[i]]
+        srcs = [src[i] for i in inc] + ([v] if add_self_loops else [])
+        if not srcs:
+            continue
+        for head in range(h):
+            pre = np.stack([xl[u, head] + xr[v, head] for u in srcs])
+            pre = np.where(pre >= 0, pre, negative_slope * pre)
+            logits = pre @ att64[head]
+            logits -= logits.max()
+            alpha = np.exp(logits)
+            alpha /= alpha.sum()
+            for a_i, u in zip(alpha, srcs):
+                out[v, head] += a_i * xl[u, head]
+    out = out.reshape(n, h * c) if concat else out.mean(axis=1)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def dense_rgcn_conv(
+    x: np.ndarray,
+    edge_index: np.ndarray,
+    edge_type: np.ndarray,
+    weight: np.ndarray,  # [R, in, out] or [B, in, out]
+    root: np.ndarray,  # [in, out]
+    bias: np.ndarray | None = None,
+    comp: np.ndarray | None = None,  # [R, B]
+    edge_keep: np.ndarray | None = None,
+) -> np.ndarray:
+    """RGCNConv oracle: out_i = x_i @ root + sum_r mean_{j in N_r(i)}
+    (x_j @ W_r) + bias, with optional basis decomposition."""
+    n = x.shape[0]
+    w = weight.astype(np.float64)
+    if comp is not None:
+        w = np.einsum("rb,bio->rio", comp.astype(np.float64), w)
+    r_total = w.shape[0]
+    x64 = x.astype(np.float64)
+    out = x64 @ root.astype(np.float64)
+    src, dst = edge_index
+    keep = np.ones(src.shape[0], bool) if edge_keep is None else edge_keep.astype(bool)
+    for v in range(n):
+        for r in range(r_total):
+            nbrs = [
+                src[i]
+                for i in range(src.shape[0])
+                if dst[i] == v and keep[i] and edge_type[i] == r
+            ]
+            if not nbrs:
+                continue
+            agg = np.mean([x64[u] for u in nbrs], axis=0)
+            out[v] += agg @ w[r]
+    if bias is not None:
+        out = out + bias
+    return out

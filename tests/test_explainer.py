@@ -107,6 +107,64 @@ class TestRun:
         b, _ = px.Explainer(feat, ei, model, CONFIG, names).run("3", times=2)
         assert a.equals(b)
 
+    def test_run_batches_repeats(self):
+        """times>1 issues ONE black-box forward dispatch (repeats are
+        vmapped, VERDICT r3 weak item 6), and the batched path matches the
+        sequential per-repeat loop."""
+        feat, ei, names, model = self._setup()
+        calls = []
+        orig = type(model).perturbed_query_outputs
+
+        def counting(self_, *a, **k):
+            calls.append(1)
+            return orig(self_, *a, **k)
+
+        type(model).perturbed_query_outputs = counting
+        try:
+            ex = px.Explainer(feat, ei, model, CONFIG, names)
+            cv_batched, _ = ex.run("10", times=4)
+        finally:
+            type(model).perturbed_query_outputs = orig
+        assert len(calls) == 1, f"expected 1 forward dispatch, got {len(calls)}"
+
+        # sequential oracle: same keys, per-repeat train_model
+        from bikg_graph_explainability_public_tpu.explain.explainer import (
+            config_val_dataframe,
+            weight_stacking,
+        )
+        from bikg_graph_explainability_public_tpu.explain.masks import MaskSampler
+        from bikg_graph_explainability_public_tpu.explain.wlm import train_model
+        from bikg_graph_explainability_public_tpu.graph import element_size, from_arrays
+        from bikg_graph_explainability_public_tpu.ops.khop import (
+            extract_khop_subgraph,
+        )
+        from bikg_graph_explainability_public_tpu.utils.prng import (
+            repeat_split_key_data,
+        )
+
+        graph = from_arrays(feat, ei)
+        sub = extract_khop_subgraph(graph, 10, model.get_hops(0) + 1)
+        elements = element_size(sub.graph, "node_prediction")
+        sampler = MaskSampler(elements, sub.graph.n_pad, CONFIG)
+        kd = repeat_split_key_data(CONFIG["seed"], 4)
+        weights = []
+        for i in range(4):
+            mask, _tags, bsz = sampler.sample(kd[i, 0])
+            res = train_model(
+                mask, model, sub.graph, CONFIG, "node_prediction",
+                int(sub.query), elements, bsz, kd[i, 1],
+            )
+            weights.append(np.asarray(res.weights)[:elements])
+        mean, std = weight_stacking(weights)
+        kept = np.asarray(sub.parent_nodes[: sub.graph.num_nodes])
+        want = config_val_dataframe(mean, std, np.array(names)[kept].tolist())
+        np.testing.assert_allclose(
+            cv_batched["config_value_mean"].to_numpy(),
+            want["config_value_mean"].to_numpy(),
+            rtol=1e-5, atol=1e-6,
+        )
+        assert list(cv_batched.index) == list(want.index)
+
     def test_run_edge_problem(self):
         """Edge explanations work (the reference's crash on masks.py:294 is
         fixed by design)."""

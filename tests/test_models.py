@@ -564,3 +564,254 @@ class TestNewFamiliesExplain:
             model = Model(mdef, mdef.init(jax.random.PRNGKey(1)))
             cv, _ = px.Explainer(feat, ei, model, cfg, names).run("3", times=1)
             assert len(cv) > 0 and np.isfinite(cv.to_numpy()).all()
+
+
+class TestMultiHeadGAT:
+    """heads>1 GATConv vs the multi-head dense oracle (VERDICT r3 item 8:
+    the importer zoo lacked multi-head GAT coverage)."""
+
+    def test_concat_heads_no_self_loops(self):
+        from fixtures import dense_gat_multihead
+
+        feat, ei, _ = make_graph(n=11, f=5, e=28, seed=31)
+        g = from_arrays(feat, ei)
+        conv = GATConv((5, 5), 3, heads=4, add_self_loops=False)
+        params = conv.init(jax.random.PRNGKey(7))
+        out = conv.apply(params, g.x, g.senders, g.receivers, full_edge_weight(g))
+        oracle = dense_gat_multihead(
+            feat, ei,
+            np.asarray(params["lin_src"]["weight"]),
+            np.asarray(params["att_src"]),
+            np.asarray(params["att_dst"]),
+            np.asarray(params["bias"]),
+            lin_dst=np.asarray(params["lin_dst"]["weight"]),
+            add_self_loops=False,
+        )
+        assert out.shape[1] == 12  # H*C concat
+        np.testing.assert_allclose(np.asarray(out)[:11], oracle, rtol=1e-4, atol=1e-5)
+
+    def test_mean_heads_self_loops_masked(self):
+        from fixtures import dense_gat_multihead
+
+        feat, ei, _ = make_graph(n=9, f=4, e=24, seed=33)
+        keep = np.random.default_rng(8).random(24) > 0.4
+        g = from_arrays(feat, ei, edge_budget=24)
+        conv = GATConv((4, 4), 3, heads=2, concat=False, add_self_loops=True)
+        params = conv.init(jax.random.PRNGKey(9))
+        out = conv.apply(
+            params, g.x, g.senders, g.receivers,
+            jnp.asarray(keep.astype(np.float32)),
+        )
+        oracle = dense_gat_multihead(
+            feat, ei,
+            np.asarray(params["lin_src"]["weight"]),
+            np.asarray(params["att_src"]),
+            np.asarray(params["att_dst"]),
+            np.asarray(params["bias"]),
+            lin_dst=np.asarray(params["lin_dst"]["weight"]),
+            edge_keep=keep,
+            add_self_loops=True,
+            concat=False,
+        )
+        assert out.shape[1] == 3  # mean over heads
+        np.testing.assert_allclose(np.asarray(out)[:9], oracle, rtol=1e-4, atol=1e-5)
+
+    def test_multihead_import_and_config_sniff(self):
+        """A heads=2 torch GAT state dict imports, the architecture is
+        inferred from shapes, and the model explains end-to-end."""
+        import bikg_graph_explainability_public_tpu as px
+        from bikg_graph_explainability_public_tpu.models.torch_import import (
+            gat_config_from_state_dict,
+            gat_node_model_params,
+        )
+
+        rng = np.random.default_rng(11)
+        f, c, h = 6, 3, 2
+        sd = {
+            "conv.0.lin_src.weight": rng.normal(size=(h * c, f)).astype(np.float32) * 0.3,
+            "conv.0.att_src": rng.normal(size=(1, h, c)).astype(np.float32),
+            "conv.0.att_dst": rng.normal(size=(1, h, c)).astype(np.float32),
+            "conv.0.bias": rng.normal(size=(h * c,)).astype(np.float32) * 0.1,
+            "fc.0.weight": rng.normal(size=(1, h * c)).astype(np.float32) * 0.3,
+            "fc.0.bias": rng.normal(size=(1,)).astype(np.float32),
+        }
+        cfg = gat_config_from_state_dict(sd)
+        assert cfg == [{"heads": 2, "channels": 3, "concat": True}]
+        params = gat_node_model_params(sd)
+        mdef = px.gat_node_model(
+            f, conv_channels=(c,), heads=h, fc_channels=(h * c,)
+        )
+        feat, ei, names = make_graph(n=14, f=f, e=40, seed=35)
+        model = Model(mdef, params)
+        cfgp = {"seed": 0, "interpret_samples": 8, "epochs": 10,
+                "lr": 0.01, "l1_lambda": 1e-4}
+        cv, _ = px.Explainer(feat, ei, model, cfgp, names).run("2", times=1)
+        assert np.isfinite(cv.to_numpy()).all()
+
+
+class TestGATv2Conv:
+    def test_matches_dense_oracle(self):
+        from fixtures import dense_gatv2_conv
+        from bikg_graph_explainability_public_tpu.models.layers import GATv2Conv
+
+        feat, ei, _ = make_graph(n=12, f=5, e=30, seed=37)
+        g = from_arrays(feat, ei)
+        conv = GATv2Conv((5, 5), 3, heads=2, add_self_loops=True)
+        params = conv.init(jax.random.PRNGKey(11))
+        out = conv.apply(params, g.x, g.senders, g.receivers, full_edge_weight(g))
+        oracle = dense_gatv2_conv(
+            feat, ei,
+            np.asarray(params["lin_l"]["weight"]),
+            np.asarray(params["lin_r"]["weight"]),
+            np.asarray(params["att"]),
+            np.asarray(params["bias"]),
+            bias_l=np.asarray(params["lin_l"]["bias"]),
+            bias_r=np.asarray(params["lin_r"]["bias"]),
+        )
+        np.testing.assert_allclose(np.asarray(out)[:12], oracle, rtol=1e-4, atol=1e-5)
+
+    def test_masked_edges_leave_softmax(self):
+        from fixtures import dense_gatv2_conv
+        from bikg_graph_explainability_public_tpu.models.layers import GATv2Conv
+
+        feat, ei, _ = make_graph(n=10, f=4, e=26, seed=39)
+        keep = np.random.default_rng(13).random(26) > 0.5
+        g = from_arrays(feat, ei, edge_budget=26)
+        conv = GATv2Conv((4, 4), 3, add_self_loops=False, bias=False)
+        params = conv.init(jax.random.PRNGKey(13))
+        out = conv.apply(
+            params, g.x, g.senders, g.receivers,
+            jnp.asarray(keep.astype(np.float32)),
+        )
+        oracle = dense_gatv2_conv(
+            feat, ei,
+            np.asarray(params["lin_l"]["weight"]),
+            np.asarray(params["lin_r"]["weight"]),
+            np.asarray(params["att"]),
+            edge_keep=keep,
+            add_self_loops=False,
+        )
+        np.testing.assert_allclose(np.asarray(out)[:10], oracle, rtol=1e-4, atol=1e-5)
+
+    def test_torch_import_and_explain(self):
+        """PyG GATv2Conv-layout state dict imports (lin_l/lin_r with biases)
+        and explains end-to-end."""
+        import bikg_graph_explainability_public_tpu as px
+        from bikg_graph_explainability_public_tpu.models.torch_import import (
+            gatv2_node_model_params,
+        )
+
+        rng = np.random.default_rng(17)
+        f, c, h = 5, 3, 2
+        sd = {
+            "conv.0.lin_l.weight": rng.normal(size=(h * c, f)).astype(np.float32) * 0.3,
+            "conv.0.lin_l.bias": rng.normal(size=(h * c,)).astype(np.float32) * 0.1,
+            "conv.0.lin_r.weight": rng.normal(size=(h * c, f)).astype(np.float32) * 0.3,
+            "conv.0.lin_r.bias": rng.normal(size=(h * c,)).astype(np.float32) * 0.1,
+            "conv.0.att": rng.normal(size=(1, h, c)).astype(np.float32),
+            "conv.0.bias": rng.normal(size=(h * c,)).astype(np.float32) * 0.1,
+            "fc.0.weight": rng.normal(size=(1, h * c)).astype(np.float32) * 0.3,
+            "fc.0.bias": rng.normal(size=(1,)).astype(np.float32),
+        }
+        params = gatv2_node_model_params(sd)
+        mdef = px.gatv2_node_model(
+            f, conv_channels=(c,), heads=h, fc_channels=(h * c,)
+        )
+        feat, ei, names = make_graph(n=13, f=f, e=34, seed=41)
+        cfgp = {"seed": 0, "interpret_samples": 8, "epochs": 10,
+                "lr": 0.01, "l1_lambda": 1e-4}
+        cv, _ = px.Explainer(feat, ei, Model(mdef, params), cfgp, names).run(
+            "3", times=1
+        )
+        assert np.isfinite(cv.to_numpy()).all()
+
+
+class TestRGCN:
+    def _typed_graph(self, n=14, f=5, e=40, r=3, seed=43):
+        feat, ei, names = make_graph(n=n, f=f, e=e, seed=seed)
+        et = np.random.default_rng(seed).integers(0, r, e)
+        return feat, ei, et, names
+
+    def test_conv_matches_dense_oracle(self):
+        from fixtures import dense_rgcn_conv
+        from bikg_graph_explainability_public_tpu.models.layers import RGCNConv
+
+        feat, ei, et, _ = self._typed_graph()
+        keep = np.random.default_rng(3).random(40) > 0.3
+        g = from_arrays(feat, ei, edge_type=et, edge_budget=40)
+        conv = RGCNConv(5, 4, num_relations=3)
+        params = conv.init(jax.random.PRNGKey(15))
+        out = conv.apply(
+            params, g.x, g.senders, g.receivers,
+            jnp.asarray(keep.astype(np.float32)), g.edge_type,
+        )
+        oracle = dense_rgcn_conv(
+            feat, ei, et,
+            np.asarray(params["weight"]),
+            np.asarray(params["root"]),
+            np.asarray(params["bias"]),
+            edge_keep=keep,
+        )
+        np.testing.assert_allclose(np.asarray(out)[:14], oracle, rtol=1e-4, atol=1e-5)
+
+    def test_basis_decomposition(self):
+        from fixtures import dense_rgcn_conv
+        from bikg_graph_explainability_public_tpu.models.layers import RGCNConv
+
+        feat, ei, et, _ = self._typed_graph(seed=45)
+        g = from_arrays(feat, ei, edge_type=et, edge_budget=40)
+        conv = RGCNConv(5, 4, num_relations=3, num_bases=2)
+        params = conv.init(jax.random.PRNGKey(17))
+        out = conv.apply(
+            params, g.x, g.senders, g.receivers,
+            g.edge_mask.astype(jnp.float32), g.edge_type,
+        )
+        oracle = dense_rgcn_conv(
+            feat, ei, et,
+            np.asarray(params["weight"]),
+            np.asarray(params["root"]),
+            np.asarray(params["bias"]),
+            comp=np.asarray(params["comp"]),
+        )
+        np.testing.assert_allclose(np.asarray(out)[:14], oracle, rtol=1e-4, atol=1e-5)
+
+    def test_torch_import_and_explain(self):
+        """PyG RGCNConv-layout state dict ([R,in,out] weight, [in,out] root —
+        NOT Linear-transposed) imports; the typed model dispatches through
+        the adapter and explains end-to-end."""
+        import bikg_graph_explainability_public_tpu as px
+        from bikg_graph_explainability_public_tpu.models.torch_import import (
+            rgcn_node_model_params,
+        )
+
+        rng = np.random.default_rng(19)
+        f, c, r = 5, 4, 3
+        sd = {
+            "conv.0.weight": rng.normal(size=(r, f, c)).astype(np.float32) * 0.3,
+            "conv.0.root": rng.normal(size=(f, c)).astype(np.float32) * 0.3,
+            "conv.0.bias": rng.normal(size=(c,)).astype(np.float32) * 0.1,
+            "fc.0.weight": rng.normal(size=(1, c)).astype(np.float32) * 0.3,
+            "fc.0.bias": rng.normal(size=(1,)).astype(np.float32),
+        }
+        params = rgcn_node_model_params(sd)
+        mdef = px.RGCNNodeModel(f, num_relations=r, conv_channels=(c,),
+                                fc_channels=(c,))
+        feat, ei, et, names = self._typed_graph(seed=47)
+        model = Model(mdef, params)
+        cfgp = {"seed": 0, "interpret_samples": 8, "epochs": 10,
+                "lr": 0.01, "l1_lambda": 1e-4}
+        ex = px.Explainer(feat, ei, model, cfgp, names, edge_types=et)
+        cv, _ = ex.run("4", times=2)
+        assert np.isfinite(cv.to_numpy()).all()
+
+        # the typed forward itself matches the conv oracle + head
+        from fixtures import dense_rgcn_conv, mlp_head
+
+        g = from_arrays(feat, ei, edge_type=et)
+        out = np.asarray(model.infer(g))[:14]
+        conv_out = dense_rgcn_conv(
+            feat, ei, et, sd["conv.0.weight"], sd["conv.0.root"],
+            sd["conv.0.bias"],
+        )
+        oracle = mlp_head(np.maximum(conv_out, 0.0), params["fc"])
+        np.testing.assert_allclose(out, oracle, rtol=1e-4, atol=1e-4)
