@@ -534,11 +534,26 @@ def _scaling_child():
         out[str(nd)] = eps(make_mesh(nd), queries)
     # fixed total work, growing mesh: partitioning overhead isolated from
     # host-core limits (the CI host has ~2 cores; 8 virtual devices cannot
-    # physically speed anything up, but sharding must not slow it down)
+    # physically speed anything up, but sharding must not slow it down).
+    # The two configs are measured INTERLEAVED, best-of-5 each: on a 2-core
+    # host, back-to-back best-of-3 blocks sampled under different ambient
+    # load swung this ratio 0.76..1.31 across rounds (attributed in
+    # benchmarks/exp_fixedwork_sharding.py — the sharded program itself has
+    # no measurable partitioning cost; device_put splitting is ~0.05 ms).
     fixed_q = list(rng.integers(0, n, 8 * q_per_dev))
-    t1 = eps(make_mesh(1), fixed_q)
-    t8 = eps(make_mesh(8), fixed_q)
-    out["sharding_overhead"] = t1 / t8  # >1 means the 8-way mesh was slower
+    m1, m8 = make_mesh(1), make_mesh(8)
+    px.explain_many(model, g, fixed_q, cfg, mesh=m1)  # compile
+    px.explain_many(model, g, fixed_q, cfg, mesh=m8)  # compile
+    best = {1: float("inf"), 8: float("inf")}
+    for _ in range(5):
+        for nd, mesh in ((1, m1), (8, m8)):
+            t0 = time.perf_counter()
+            px.explain_many(model, g, fixed_q, cfg, mesh=mesh)
+            best[nd] = min(best[nd], time.perf_counter() - t0)
+    # ratio of 8-shard to 1-shard fixed-work throughput: 1.0 = sharding
+    # costs nothing; <1 = partitioning overhead; >1 = the 8 device threads
+    # exploit the second host core
+    out["sharding_overhead"] = best[1] / best[8]
     print(json.dumps(out))
 
 
@@ -561,15 +576,16 @@ def bench_weak_scaling():
         return {
             "scaling_eps_per_ndev": {k: round(v, 3) for k, v in data.items()},
             "scaling_efficiency_8dev": round(eff, 3),
-            # fixed work, 1-dev vs 8-dev mesh: >1 means sharding cost; the
-            # CI host has ~2 cores so weak scaling is core-bound there and
-            # this overhead ratio is the meaningful partitioning check
+            # fixed work, 8-shard vs 1-shard throughput ratio (interleaved
+            # best-of-5): 1.0 = partitioning costs nothing, <1 = sharding
+            # overhead, >1 = the 8 device threads use the second host core
             "sharding_overhead_8dev": round(overhead, 3) if overhead else None,
             "scaling_note": (
                 "virtual 8-device CPU mesh on a ~2-core host: weak scaling "
-                "is host-core-bound; sharding_overhead_8dev (fixed work, "
-                "1 vs 8 shards) is the partitioning check — real scaling "
-                "efficiency needs multi-chip hardware"
+                "is host-core-bound; sharding_overhead_8dev is the fixed-"
+                "work partitioning check (8-shard/1-shard eps, interleaved "
+                "sampling; >=1 means sharding costs nothing) — real "
+                "scaling efficiency needs multi-chip hardware"
             ),
         }
     except Exception as exc:  # noqa: BLE001 — bench must still print its line

@@ -40,9 +40,11 @@ def bench(n=100_000, deg=10, b=16, f=128, dtype=np.float32, ablate="",
     g = px.from_arrays(rng.standard_normal((n, 8), dtype=np.float32),
                        ei.astype(np.int64), pad_mode="exact")
     table = build_neighbor_table(g)
-    feats = jnp.asarray(
-        rng.standard_normal((g.n_pad, b * f)).astype(dtype)
-    )
+    # feats generated ON DEVICE: shipping ~1 GB of host randoms over the
+    # remote-TPU tunnel wedges the stream for minutes
+    feats = jax.random.normal(
+        jax.random.PRNGKey(0), (g.n_pad, b * f)
+    ).astype(np.dtype(dtype).name)
     itemsize = np.dtype(dtype).itemsize
     plan = sp.plan_for_table(table, b * f, itemsize)
     w2 = jnp.asarray(sp._static_weights(np.asarray(table.valid), plan.tr))

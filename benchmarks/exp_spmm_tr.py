@@ -26,7 +26,9 @@ def bench(tr, ablate="", n=100_000, deg=10, b=16, f=128, seed=0, reps=10):
     g = px.from_arrays(rng.standard_normal((n, 8), dtype=np.float32),
                        ei.astype(np.int64), pad_mode="exact")
     table = build_neighbor_table(g)
-    feats = jnp.asarray(rng.standard_normal((g.n_pad, b * f)).astype(np.float32))
+    # feats generated ON DEVICE: shipping ~1 GB of host randoms over the
+    # remote-TPU tunnel wedges the stream for minutes
+    feats = jax.random.normal(jax.random.PRNGKey(0), (g.n_pad, b * f), jnp.float32)
     plan = sp.build_compact_plan(
         np.asarray(table.nbr), np.asarray(table.valid), tr)
     w2 = jnp.asarray(sp._static_weights(np.asarray(table.valid), tr))
