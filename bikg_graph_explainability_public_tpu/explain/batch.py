@@ -108,6 +108,45 @@ def _seed_nodes(graph, queries, problem):
     return [int(rcv[int(q)]) for q in queries]
 
 
+#: community-mode sub-bucket size: buckets larger than this are split so
+#: the next chunk's host-side sampling overlaps the previous chunk's device
+#: compute (see explain_many).  8 keeps the per-dispatch vmap batch large
+#: enough for the MXU while giving a 2-deep pipeline at the 16-query bench.
+_COMMUNITY_PIPELINE_Q = 8
+
+_PW_GLOBAL_CACHE: "OrderedDict" = None  # initialised below
+_NO_NAMES = object()  # sentinel key for names=None
+
+
+def _pathways_global_ids_cached(pathways, names_arr: np.ndarray, names_src):
+    """Identity-cached name->global-id community conversion.
+
+    The conversion depends only on (pathways, element names) — both
+    long-lived objects in a serving loop — yet costs ~15 ms per 32x625-name
+    call.  Keyed by the *source* objects' ids; the cache holds strong
+    references to those objects, so a live entry's ids can never be
+    recycled by the allocator (lists are not weakref-able, ruling out the
+    finalizer-eviction pattern of ``ops/spmm_pallas.py``).  Bounded FIFO of
+    4 entries keeps the retention small.  ``names_src`` is the caller's
+    ``names`` argument (or :data:`_NO_NAMES` when element names default to
+    indices, in which case the padded width disambiguates).
+    """
+    global _PW_GLOBAL_CACHE
+    from collections import OrderedDict
+
+    if _PW_GLOBAL_CACHE is None:
+        _PW_GLOBAL_CACHE = OrderedDict()
+    key = (id(pathways), id(names_src), len(names_arr))
+    hit = _PW_GLOBAL_CACHE.get(key)
+    if hit is not None and hit[0] is pathways and hit[1] is names_src:
+        return hit[2]
+    val = _pathways_as_global_ids(pathways, names_arr)
+    _PW_GLOBAL_CACHE[key] = (pathways, names_src, val)
+    while len(_PW_GLOBAL_CACHE) > 4:
+        _PW_GLOBAL_CACHE.popitem(last=False)
+    return val
+
+
 def _pathways_as_global_ids(
     pathways, names_arr: np.ndarray
 ) -> List[np.ndarray]:
@@ -685,7 +724,24 @@ def explain_many(
             max(round_up_pow2(s.graph.num_edges), 8),
         )
         buckets.setdefault(key, []).append(i)
-    if len(buckets) == 1:
+
+    # community mode pays real host work per query (Philox sampling +
+    # packbits, ~2.5 ms/query on the bench host) that otherwise runs
+    # serially before any device compute.  Splitting a bucket into
+    # sub-buckets makes the existing defer pipelining overlap sub-bucket
+    # j+1's host sampling with sub-bucket j's device compute.  Splitting is
+    # draw-invariant: every bucket member shares one pow2 pad budget (the
+    # bucket key), so the mask width — the only stacking-dependent input to
+    # a query's draws — is unchanged, and per-query keys fold the original
+    # positions.
+    work: list = []
+    for idxs in buckets.values():
+        if pathways is not None and len(idxs) > _COMMUNITY_PIPELINE_Q:
+            for j in range(0, len(idxs), _COMMUNITY_PIPELINE_Q):
+                work.append(idxs[j : j + _COMMUNITY_PIPELINE_Q])
+        else:
+            work.append(idxs)
+    if len(work) == 1:
         return _explain_many_stacked(
             model, graph, queries, params_cfg, names, times, chunk, mesh,
             pathways, pathway_names, problem, subs=subs,
@@ -708,11 +764,13 @@ def explain_many(
                 graph.e_pad if is_edge else graph.n_pad
             ).astype(str)
         )
-        pw_global = _pathways_as_global_ids(pathways, all_names_arr)
+        pw_global = _pathways_global_ids_cached(
+            pathways, all_names_arr, names if names is not None else _NO_NAMES
+        )
 
     results: list = [None] * len(queries)
     launches = []
-    for idxs in buckets.values():
+    for idxs in work:
         ws, build = _explain_many_stacked(
             model, graph, [queries[i] for i in idxs], params_cfg, names,
             times, chunk, mesh, pathways, pathway_names, problem,
@@ -834,7 +892,10 @@ def _explain_many_stacked(
             else list(range(len(pathways)))
         )
         if pw_global is None:
-            pw_global = _pathways_as_global_ids(pathways, all_names_arr)
+            pw_global = _pathways_global_ids_cached(
+                pathways, all_names_arr,
+                names if names is not None else _NO_NAMES,
+            )
         cap = graph.e_pad if is_edge else graph.n_pad
 
         mask_stacks = [[None] * qn for _ in range(times)]

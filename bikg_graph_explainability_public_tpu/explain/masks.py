@@ -132,6 +132,198 @@ def _activate_dead_mask(
     return fixed
 
 
+class CommunityLayout(NamedTuple):
+    """Draw-independent sampling layout for one (pathways, width, total).
+
+    Everything in the Configuration-Value sampler that does not depend on
+    the RNG draws — row budgets, antithetic partner indices, the [P, width]
+    membership matrix, and the flat fancy-index arrays that land internal
+    bits in own-community columns — precomputed once and reused across
+    repeats (``MaskSampler`` caches it per instance).  Building this per
+    draw cost ~1.3 ms/query of numpy-op overhead on the 16-query community
+    bench; the draw step below is ~0.4 ms.
+    """
+
+    num_pathways: int
+    num_elements: int
+    width: int
+    m_total: int
+    l_max: int
+    starts: np.ndarray      # [U] first row of each used block
+    sizes_b: np.ndarray     # [U] rows per used block
+    si_b: np.ndarray        # [U] leading internal-only rows per block
+    tags_b: np.ndarray      # [U] original pathway index per block
+    row_tag: np.ndarray     # [M] original pathway index per row
+    is_ext: np.ndarray      # [M] row carries an external coalition
+    base: np.ndarray        # [M] antithetic partner source row
+    invert: np.ndarray      # [M] row inverts its partner's coalition
+    mem_u16: np.ndarray     # [P, width] uint16 membership matrix
+    iflat_full: np.ndarray  # [F] flat (row*width + col) internal-bit dests
+    iflat_u: np.ndarray     # [F] flat (row*l_max + col_local) uniform srcs
+    sub_order: Optional[np.ndarray]  # biggest-first subsample, or None
+
+
+def build_community_layout(
+    pathway_inds: Sequence[Sequence[int]],
+    num_elements: int,
+    width: int,
+    total: int,
+) -> CommunityLayout:
+    """Build the static Configuration-Value layout, fully vectorized.
+
+    Row budgets follow :func:`build_plans` (reference ``masks.py:313-348``);
+    the >4000-element budget cap honours the reference's exact break order —
+    the check runs BEFORE the just-appended block is counted
+    (``masks.py:343-348``: ``if cumulative_size > ...: break`` precedes
+    ``cumulative_size += mask.shape[0]``), asserted in tests/test_masks.py.
+    """
+    num_pathways = len(pathway_inds)
+    lens_all = np.array([len(p) for p in pathway_inds], np.int64)
+    total_len = max(int(lens_all.sum()), 1)
+    order = np.argsort(-lens_all, kind="stable")
+    frac = lens_all[order].astype(np.float64) / total_len
+    sizes = np.ceil(frac * total).astype(np.int64)
+    si = np.ceil(frac * sizes).astype(np.int64)
+    clamp = si < 3
+    si[clamp] = 1
+    sizes[clamp] = 2
+
+    # budget cap: biggest pathways only; block i is the last appended when
+    # sum(sizes[:i]) > total first holds
+    nused = num_pathways
+    if num_elements > 4000 and num_pathways:
+        cum_before = np.zeros(num_pathways, np.int64)
+        np.cumsum(sizes[:-1], out=cum_before[1:])
+        over = np.nonzero(cum_before > total)[0]
+        if over.size:
+            nused = int(over[0]) + 1
+    sizes_b = sizes[:nused]
+    si_b = si[:nused]
+    tags_b = order[:nused].astype(np.int32)
+    lens_b = lens_all[order[:nused]].astype(np.int32)
+    m_total = int(sizes_b.sum())
+    starts = np.zeros(nused, np.int64)
+    np.cumsum(sizes_b[:-1], out=starts[1:])
+
+    # [P, width] membership over ALL pathways (coalition bits may include
+    # any community, used or not): one flat fancy assignment
+    mem = np.zeros((num_pathways, width), np.uint16)
+    if total_len:
+        flat_cols = np.concatenate(
+            [np.asarray(p, np.int64) for p in pathway_inds]
+        ) if num_pathways else np.zeros(0, np.int64)
+        mem[np.repeat(np.arange(num_pathways), lens_all), flat_cols] = 1
+
+    rows = np.arange(m_total)
+    row_block = np.repeat(np.arange(nused), sizes_b)
+    row_tag = tags_b[row_block]
+    local = rows - starts[row_block]
+    is_ext = local >= si_b[row_block]
+    j = local - si_b[row_block]
+    half = ((sizes_b - si_b) // 2)[row_block]
+    # antithetic external coalitions: second half inverts the first half
+    # (reference pathways.py:234-283); odd tail row is a fresh draw
+    invert = is_ext & (j >= half) & (j < 2 * half)
+    base = np.where(invert, rows - half, rows)
+
+    # internal bits: draws cover only the max community width (communities
+    # are typically width/P columns wide — a full [M, width] draw measured
+    # 30 ms of the 16-query bench).  Destination (row, col) pairs for every
+    # block flattened into ONE fancy assignment: row r of block b writes its
+    # block's sorted columns from u_elem[r, :len_b]
+    l_max = int(lens_b.max()) if nused else 0
+    colcat = (
+        np.concatenate([np.sort(np.asarray(pathway_inds[t], np.int64))
+                        for t in tags_b])
+        if nused else np.zeros(0, np.int64)
+    )
+    col_off = np.zeros(nused, np.int64)
+    if nused:
+        np.cumsum(lens_b[:-1], out=col_off[1:])
+    lens_per_row = lens_b[row_block].astype(np.int64)
+    f_total = int(lens_per_row.sum())
+    row_flat = np.repeat(rows, lens_per_row)
+    ends = np.cumsum(lens_per_row)
+    col_local = np.arange(f_total) - np.repeat(ends - lens_per_row,
+                                               lens_per_row)
+    col_flat = colcat[col_off[row_block[row_flat]] + col_local]
+    iflat_full = row_flat * width + col_flat
+    iflat_u = row_flat * max(l_max, 1) + col_local
+
+    sub_order = None
+    if num_elements > 4000 and m_total > total:
+        # biggest-communities-first subsample (masks.py:367-380)
+        sub_order = np.argsort(-lens_b[row_block], kind="stable")[:total]
+    return CommunityLayout(
+        num_pathways=num_pathways, num_elements=num_elements, width=width,
+        m_total=m_total, l_max=l_max, starts=starts, sizes_b=sizes_b,
+        si_b=si_b, tags_b=tags_b, row_tag=row_tag, is_ext=is_ext, base=base,
+        invert=invert, mem_u16=mem, iflat_full=iflat_full, iflat_u=iflat_u,
+        sub_order=sub_order,
+    )
+
+
+def draw_community_mask(
+    layout: CommunityLayout, rng: np.random.Generator
+) -> Tuple[np.ndarray, np.ndarray]:
+    """One Configuration-Value draw over a precomputed layout.
+
+    Semantics (internal bits / antithetic external coalitions / dead-mask
+    reactivation / budget cap / biggest-first subsample) match the reference
+    block loop (``masks.py:322-348``) — asserted by the coalition-validity
+    tests.  Two uniform tensors cover all rows; everything else is the
+    layout's precomputed index arithmetic.
+    """
+    m_total, num_pathways = layout.m_total, layout.num_pathways
+    u_elem = rng.random((m_total, max(layout.l_max, 1)), dtype=np.float32)
+    u_path = rng.random((m_total, num_pathways), dtype=np.float32)
+
+    pm = (u_path[layout.base] < 0.5) ^ layout.invert[:, None]
+    pm[~layout.is_ext] = False
+    if num_pathways > 1:
+        pm[np.arange(m_total), layout.row_tag] = False  # own community out
+    else:
+        pm[:] = False  # no external coalitions with a single community
+
+    if num_pathways > 1:
+        # dead-mask reactivation (reference pathways.py:285-334): when a
+        # block's whole external mask is all-False, flip one random other
+        # community per row.  All-False needs every bit of a
+        # [rows_ext, P-1] draw to land False — vanishingly rare, so detection
+        # is one bincount and only affected blocks loop.
+        row_any = pm.any(axis=1)
+        ext_rows = layout.sizes_b - layout.si_b
+        live = np.bincount(
+            np.repeat(np.arange(layout.starts.size), layout.sizes_b)[
+                layout.is_ext & row_any
+            ],
+            minlength=layout.starts.size,
+        )
+        for bi in np.nonzero((ext_rows > 0) & (live == 0))[0]:
+            s = int(layout.starts[bi] + layout.si_b[bi])
+            e = int(layout.starts[bi] + layout.sizes_b[bi])
+            pm[s:e] = _activate_dead_mask(
+                rng, pm[s:e], int(layout.tags_b[bi])
+            )
+
+    # community coalition -> element bits: one matmul (elements in several
+    # coalition communities OR together, like the reference's scatter-or).
+    # uint16 accumulator: a uint8 matmul would wrap to 0 for an element
+    # shared by a multiple of 256 coalition communities (P >= 256 pathways)
+    full = pm.astype(np.uint16) @ layout.mem_u16 > 0
+    # own-community columns carry the internal bits (reference
+    # masks.py:322-340): one flat fancy assignment over precomputed indices
+    full.reshape(-1)[layout.iflat_full] = (
+        u_elem.reshape(-1)[layout.iflat_u] < 0.5
+    )
+
+    tags = layout.row_tag
+    if layout.sub_order is not None:
+        full = full[layout.sub_order]
+        tags = tags[layout.sub_order]
+    return full, tags
+
+
 def sample_community_mask(
     key: jax.Array,
     pathway_inds: Sequence[Sequence[int]],
@@ -148,114 +340,15 @@ def sample_community_mask(
 
     The reference builds this block-by-block in a Python loop with per-block
     draws (``masks.py:322-348``); profiled at ~70% of community-mode time
-    here.  This implementation draws two uniform tensors covering ALL rows at
-    once — external coalition bits at full ``[M, P]`` width and internal bits
-    only at the *maximum community width* (communities are typically
-    width/P columns wide, so a full-width internal draw wastes most of the
-    randoms) — and assembles every block with numpy vector ops: per-row
-    antithetic partners are index arithmetic, the community->element
-    expansion is one matmul against the [P, width] membership matrix, and
-    internal bits land in own-community columns via per-block contiguous-row
-    slice assignment (each block's rows share one column set).  Semantics
-    (internal bits / antithetic external coalitions / dead-mask reactivation
-    / budget cap / biggest-first subsample) are unchanged — asserted by the
-    coalition-validity tests.  ``key`` may be a jax PRNG key or a numpy
+    here.  This is :func:`build_community_layout` (static index arithmetic)
+    + :func:`draw_community_mask` (two uniform tensors, one membership
+    matmul, one flat internal-bit assignment); repeat callers should build
+    the layout once and call :func:`draw_community_mask` per key
+    (``MaskSampler`` does).  ``key`` may be a jax PRNG key or a numpy
     Generator.
     """
-    plans = build_plans(pathway_inds, total)
-    num_pathways = len(pathway_inds)
-    rng = _np_rng(key)
-
-    # memory cap: biggest pathways only.  The check deliberately runs BEFORE
-    # the just-appended block is counted — exactly the reference's order
-    # (masks.py:343-348: `if cumulative_size > ...: break` precedes
-    # `cumulative_size += mask.shape[0]`), so the break fires on the same
-    # pathway as the oracle (asserted in tests/test_masks.py).
-    used: List[MaskPlan] = []
-    cumulative = 0
-    for plan in plans:
-        used.append(plan)
-        if cumulative > total and num_elements > 4000:
-            break
-        cumulative += plan.size
-
-    # enum index of each used plan = its position in the sorted plan list
-    # (the reference's `ind_pathway` for the forced-False own column)
-    sizes_b = np.array([p.size for p in used], np.int64)
-    si_b = np.array([p.size_internal for p in used], np.int64)
-    tags_b = np.array([p.pathway_index for p in used], np.int32)
-    lens_b = np.array([p.columns.shape[0] for p in used], np.int32)
-    m_total = int(sizes_b.sum())
-    starts = np.zeros(len(used), np.int64)
-    np.cumsum(sizes_b[:-1], out=starts[1:])
-
-    mem = np.zeros((num_pathways, width), bool)  # [P, width] membership
-    for i, p in enumerate(pathway_inds):
-        mem[i, np.fromiter((int(v) for v in p), np.int64)] = True
-
-    rows = np.arange(m_total)
-    row_block = np.repeat(np.arange(len(used)), sizes_b)  # [M] used-plan idx
-    row_tag = tags_b[row_block]  # [M] original pathway index
-    local = rows - starts[row_block]
-    is_ext = local >= si_b[row_block]
-    j = local - si_b[row_block]  # ext-local row index (where is_ext)
-    half = ((sizes_b - si_b) // 2)[row_block]
-
-    # internal bits: draw only the max community width, not the full mask
-    # width (a full [M, width] draw + per-row membership gather + where
-    # measured 30 ms of the 16-query community bench; communities are
-    # typically width/P columns wide)
-    l_max = int(lens_b.max()) if len(used) else 0
-    u_elem = rng.random((m_total, max(l_max, 1)), dtype=np.float32)
-    u_path = rng.random((m_total, num_pathways), dtype=np.float32)
-
-    # antithetic external coalitions: second half inverts the first half
-    # (reference pathways.py:234-283); odd tail row is a fresh draw
-    invert = is_ext & (j >= half) & (j < 2 * half)
-    base = np.where(invert, rows - half, rows)
-    pm = (u_path[base] < 0.5) ^ invert[:, None]
-    pm[~is_ext] = False
-    if num_pathways > 1:
-        pm[rows, row_tag] = False  # own community never in the coalition
-    else:
-        pm[:] = False  # no external coalitions with a single community
-
-    if num_pathways > 1:
-        # dead-mask reactivation (reference pathways.py:285-334): when a
-        # block's whole external mask is all-False, flip one random other
-        # community per row.  All-False needs every bit of a
-        # [rows_ext, P-1] draw to land False — vanishingly rare except for
-        # tiny blocks, so the fix stays a per-affected-block loop.
-        row_any = pm.any(axis=1)
-        for bi in range(len(used)):
-            s = int(starts[bi] + si_b[bi])
-            e = int(starts[bi] + sizes_b[bi])
-            if e > s and not row_any[s:e].any():
-                pm[s:e] = _activate_dead_mask(rng, pm[s:e], int(tags_b[bi]))
-
-    # community coalition -> element bits: one boolean matmul (elements in
-    # several coalition communities OR together, like the reference's
-    # scatter-or over the segment table)
-    # uint16 accumulator: a uint8 matmul would wrap to 0 for an element
-    # shared by a multiple of 256 coalition communities (P >= 256 pathways)
-    full = pm.astype(np.uint16) @ mem.astype(np.uint16) > 0
-    # own-community columns carry the internal bits (reference
-    # masks.py:322-340): per-block slice assignment — every row of a block
-    # shares the same column set, so this is contiguous-row fancy indexing
-    # instead of a full-width where against a gathered membership matrix
-    for bi, p in enumerate(used):
-        s = int(starts[bi])
-        e = s + int(sizes_b[bi])
-        cols = p.columns
-        full[s:e, cols] = u_elem[s:e, : cols.shape[0]] < 0.5
-
-    tags = row_tag
-    if num_elements > 4000 and m_total > total:
-        # biggest-communities-first subsample (masks.py:367-380)
-        order = np.argsort(-lens_b[row_block], kind="stable")[:total]
-        full = full[order]
-        tags = tags[order]
-    return full, tags
+    layout = build_community_layout(pathway_inds, num_elements, width, total)
+    return draw_community_mask(layout, _np_rng(key))
 
 
 def sample_shapley_mask(
@@ -306,6 +399,7 @@ class MaskSampler:
         self.epochs = int(epochs)
         self.total = self.n_perturbs * self.epochs
         self.pathway_inds = pathway_inds
+        self._layout: Optional[CommunityLayout] = None  # built lazily
 
     def sample(self, key: jax.Array) -> Tuple[np.ndarray, Optional[np.ndarray], int]:
         """Returns (mask [M_used, width], pathway_rows or None, batch_size)
@@ -320,9 +414,12 @@ class MaskSampler:
         """
         rng_mask, rng_perm = _philox_streams(key, 2)
         if self.pathway_inds is not None:
-            mask, tags = sample_community_mask(
-                rng_mask, self.pathway_inds, self.num_elements, self.width, self.total
-            )
+            if self._layout is None:
+                self._layout = build_community_layout(
+                    self.pathway_inds, self.num_elements, self.width,
+                    self.total,
+                )
+            mask, tags = draw_community_mask(self._layout, rng_mask)
         else:
             mask = sample_shapley_mask(rng_mask, self.num_elements, self.width, self.total)
             tags = None

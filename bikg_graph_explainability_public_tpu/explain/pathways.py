@@ -129,13 +129,16 @@ class Pathways:
     def aggregate(self, config_val, community_inds: Sequence[Sequence[int]]) -> pd.DataFrame:
         """Mean config value per community, sorted descending, NaN dropped."""
         vals = np.asarray(config_val, np.float64)
-        scores = np.array(
-            [
-                np.mean(vals[np.asarray(ind, np.int64)]) if len(ind) else np.nan
-                for ind in community_inds
-            ],
-            np.float64,
+        # vectorized per-community mean: one bincount over the flattened
+        # segment table (the per-community fancy-index loop measured ~1 ms
+        # per 32-community query, multiplied by Q in explain_many)
+        elements, seg, lengths = segment_table(community_inds)
+        sums = np.bincount(
+            seg, weights=vals[elements], minlength=len(lengths)
         )
+        with np.errstate(invalid="ignore"):
+            scores = np.where(lengths > 0, sums / np.maximum(lengths, 1),
+                              np.nan)
         # NaN-drop + sort in numpy, ONE DataFrame construction (the previous
         # set_index/sort_values/dropna chain cost ~5 ms per 32-row frame —
         # multiplied by Q queries in explain_many)

@@ -145,6 +145,43 @@ class TestCommunityExplainMany:
         assert set(cv_ref.index) == set(cv_b.index)
         assert set(pw_ref.index) == set(pw_b.index)
 
+    def test_community_subbucket_split_invariant(self, monkeypatch):
+        """Community pipeline sub-bucket splitting is draw-invariant.
+
+        ``explain_many`` splits large community buckets into
+        ``_COMMUNITY_PIPELINE_Q``-sized sub-buckets so sub-bucket j+1's
+        host sampling overlaps sub-bucket j's device compute.  Every
+        query's mask draws depend only on its bucket's pad budget and its
+        original position, so splitting must be bitwise-invisible."""
+        import jax
+        from bikg_graph_explainability_public_tpu.explain import (
+            batch as batch_mod,
+        )
+
+        feat, ei, names = make_graph(n=36, f=8, e=120, seed=97)
+        g = px.from_arrays(feat, ei)
+        mdef = px.GCNNodeModel(8, conv_channels=(8,), fc_channels=(8, 4))
+        params = mdef.init(jax.random.PRNGKey(97))
+        model = px.Model(mdef, params)
+        cfg = {"seed": 7, "interpret_samples": 8, "epochs": 4, "lr": 0.01,
+               "l1_lambda": 1e-4}
+        pw = [[names[i] for i in range(0, 12)],
+              [names[i] for i in range(12, 36)]]
+        queries = [2, 7, 11, 15, 19, 23, 27, 31, 3, 8]
+        monkeypatch.setattr(batch_mod, "_COMMUNITY_PIPELINE_Q", 3)
+        split = px.explain_many(
+            model, g, queries, cfg, names=names, pathways=pw,
+            pathway_names=["west", "east"],
+        )
+        monkeypatch.setattr(batch_mod, "_COMMUNITY_PIPELINE_Q", 10_000)
+        unsplit = px.explain_many(
+            model, g, queries, cfg, names=names, pathways=pw,
+            pathway_names=["west", "east"],
+        )
+        for (a_cv, a_pw), (b_cv, b_pw) in zip(split, unsplit):
+            pd.testing.assert_frame_equal(a_cv, b_cv)
+            pd.testing.assert_frame_equal(a_pw, b_pw)
+
 
 CFG_MID = {"seed": 3, "interpret_samples": 60, "epochs": 200, "lr": 0.01,
            "l1_lambda": 1e-4}
