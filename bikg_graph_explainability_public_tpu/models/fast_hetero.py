@@ -105,9 +105,136 @@ class FastBatchedHeteroGCN:
         self.xw0 = jnp.asarray(np.stack(xw0), dtype=dtype)  # [R, N, C1]
 
     #: padded-node ceiling for the UNRESTRICTED dense [R, N, N] formulation;
-    #: restricted (query-plan) forwards have no size limit — their adjacency
-    #: slices are [R, Ps, N] host numpy
+    #: above it unrestricted node/graph forwards run the per-relation ELL
+    #: tier (:meth:`batch_node_outputs_ell`); restricted (query-plan)
+    #: forwards have no size limit — their adjacency slices are [R, Ps, N]
+    #: host numpy
     DENSE_CAP = 4096
+
+    def _ell_setup(self):
+        """Per-relation neighbour tables + receiver-sorted COO, built lazily
+        on first unrestricted big-graph use (the hetero analogue of
+        :class:`.fast_gcn.FastBatchedGCN`'s ELL tier — dense-mode engines and
+        restricted plans never pay it)."""
+        if getattr(self, "_ell", None) is not None:
+            return self._ell
+        from ..ops.ell import build_neighbor_table_edges
+        from ..runtime import native
+
+        graph = self.graph
+        hv = host_view(graph)
+        snd = hv.senders[: graph.num_edges]
+        rcv = hv.receivers[: graph.num_edges]
+        et = hv.edge_type[: graph.num_edges]
+        eids = np.arange(graph.num_edges, dtype=np.int32)
+        keep_ns = snd != rcv  # gcn_norm drops data self-loops (ops/norm)
+        tables, snds_s, rcvs_s, tables_s = [], [], [], []
+        for ri in range(len(self.model_def.relations)):
+            sel = keep_ns & (et == ri)
+            table = build_neighbor_table_edges(
+                graph.n_pad, snd[sel], rcv[sel], eids[sel]
+            )
+            _ptr, col, pe = native.build_csr(
+                graph.n_pad, snd[sel], rcv[sel]
+            )
+            snds_s.append(jnp.asarray(col))
+            rcvs_s.append(jnp.asarray(rcv[sel][pe]))
+            # slot eid -> position in the relation's receiver-sorted order
+            # (the pallas weighted path gathers [E_r, B] weights by slot)
+            inv = np.zeros(graph.e_pad, np.int32)
+            inv[eids[sel][pe]] = np.arange(len(pe), dtype=np.int32)
+            tables.append(table)
+            tables_s.append(
+                table._replace(eid=jnp.asarray(inv)[table.eid])
+            )
+        self._ell = (tables, snds_s, rcvs_s, tables_s)
+        return self._ell
+
+    def batch_node_outputs_ell(self, masks: jax.Array) -> jax.Array:
+        """All-node outputs for every mask row ([B, N, out]) — ELL tier.
+
+        The big-graph unrestricted formulation: per-relation padded
+        neighbour tables instead of dense [R, N, N] adjacencies.  Layer 1
+        gathers each relation's transformed features ONCE for the whole
+        batch ([N, K_r, C1]) and contracts against per-sample slot
+        coefficients on the MXU; layers >= 2 run the rank-1 separable
+        batched SpMM per relation (blocked-ELL Pallas kernel on TPU at wide
+        rows).  Replaces the reference's per-perturbation hetero Python
+        loop (``model.py:196-249``) at its stated >=1e5-node KG scale
+        (``README.md:50``).
+        """
+        from ..ops.ell import ell_aggregate_shared
+        from ..ops.spmm import gather_sum_batched_separable
+
+        tables, snds_s, rcvs_s, tables_s = self._ell_setup()
+        m = masks.astype(jnp.float32)  # [B, N]
+        b, n = m.shape
+        nrel = len(self.model_def.relations)
+
+        # per-relation masked degree / scale factors over the tables:
+        # deg[r,b,v] = scope[r,v] + m[b,v] * sum_k valid[v,k] m[b,nbr[v,k]]
+        def coeffs(ri):
+            t = tables[ri]
+
+            def one(mrow):
+                w = t.valid * mrow[t.nbr] * mrow[:, None]  # [N, K_r]
+                deg = self.scope[ri] + w.sum(axis=1)
+                dis = jnp.where(
+                    deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-30)), 0.0
+                )
+                coeff = w * dis[:, None] * dis[t.nbr]
+                return coeff, dis
+
+            return jax.vmap(one)(m)  # [B, N, K_r], [B, N]
+
+        layer0 = self.model_def.conv_layers[0]
+        h = None
+        dis_all = []
+        for ri, (rel, conv) in enumerate(layer0.items()):
+            p = self.params["conv"][0]["__".join(rel)]
+            coeff, dis = coeffs(ri)
+            dis_all.append(dis)
+            self_w = self.scope[ri] * dis * dis  # [B, N]
+            g0 = self.xw0[ri][tables[ri].nbr]  # [N, K_r, C1] shared gather
+            agg = ell_aggregate_shared(coeff.astype(self.dtype), g0)
+            contrib = agg + self_w[:, :, None] * self.xw0[ri].astype(
+                jnp.float32
+            )
+            if "bias" in p:
+                contrib = contrib + p["bias"] * self.scope[ri][None, :, None]
+            h = contrib if h is None else h + contrib
+        h = relu(h)
+
+        for li, layer in enumerate(self.model_def.conv_layers[1:], start=1):
+            out = None
+            for ri, (rel, conv) in enumerate(layer.items()):
+                p = self.params["conv"][li]["__".join(rel)]
+                hw = h[..., : conv.in_features] @ p["weight"].T  # [B, N, C]
+                dis = dis_all[ri]
+                a_bn = m * dis  # [B, N] rank-1 separable factors
+                f_dim = hw.shape[-1]
+                hw_t = (
+                    jnp.transpose(hw, (1, 0, 2))
+                    .astype(self.dtype)
+                    .reshape(n, b * f_dim)
+                )
+                out_t = gather_sum_batched_separable(
+                    a_bn,
+                    hw_t,
+                    snds_s[ri],
+                    rcvs_s[ri],
+                    n,
+                    b,
+                    table=tables_s[ri],
+                )
+                agg = jnp.transpose(out_t.reshape(n, b, f_dim), (1, 0, 2))
+                self_w = self.scope[ri] * dis * dis
+                contrib = agg + self_w[:, :, None] * hw
+                if "bias" in p:
+                    contrib = contrib + p["bias"] * self.scope[ri][None, :, None]
+                out = contrib if out is None else out + contrib
+            h = relu(out)
+        return h
 
     @property
     def adj(self) -> jax.Array:
@@ -454,14 +581,15 @@ class FastBatchedHeteroGCN:
             # unrestricted hetero edge forwards have no dense formulation
             # here — decline and let the adapter run the generic COO path
             return None
-        if self.graph.n_pad > self.DENSE_CAP:
-            # the unrestricted formulation is dense [R, N, N] einsum work —
-            # decline and let the adapter fall back to the COO path
-            return None
+        ell = self.graph.n_pad > self.DENSE_CAP
         nvalid = self.graph.node_mask.astype(jnp.float32)
 
         def run_chunk(mchunk):
-            h = self.batch_node_outputs(mchunk)
+            h = (
+                self.batch_node_outputs_ell(mchunk)
+                if ell
+                else self.batch_node_outputs(mchunk)
+            )
             if is_graph:
                 out = self.model_def.head(self.params, h)
                 return (out[..., 0] * nvalid).sum(-1) / jnp.maximum(nvalid.sum(), 1.0)

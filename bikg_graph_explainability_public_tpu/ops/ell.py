@@ -57,7 +57,23 @@ def build_neighbor_table(
     if drop_self_loops:
         keep = snd != rcv
         snd, rcv, eids = snd[keep], rcv[keep], eids[keep]
-    n = graph.n_pad
+    return build_neighbor_table_edges(graph.n_pad, snd, rcv, eids, k=k)
+
+
+def build_neighbor_table_edges(
+    n: int,
+    snd: np.ndarray,
+    rcv: np.ndarray,
+    eids: np.ndarray,
+    *,
+    k: Optional[int] = None,
+) -> NeighborTable:
+    """Build a table from explicit edge arrays (already filtered).
+
+    The per-relation entry: hetero engines pass each relation's edge subset
+    (``eids`` are ORIGINAL edge ids, so edge-problem masks index correctly);
+    :func:`build_neighbor_table` passes a whole graph's valid edges.
+    """
     if k is None:
         k = max(native.max_degree(n, rcv), 1)
         k = round_up(k, 8)

@@ -245,9 +245,48 @@ class TestHeteroBeyondDenseCap:
         )
         np.testing.assert_allclose(want, got, rtol=1e-4, atol=1e-5)
 
-    def test_graph_problem_beyond_cap_declines(self, monkeypatch):
-        g, mdef, params = _two_type_setup()
+    def test_graph_problem_beyond_cap_runs_ell(self, monkeypatch):
+        """Beyond DENSE_CAP the unrestricted path runs the per-relation ELL
+        tier (round-4: no more decline to the generic COO fallback)."""
+        g, mdef, params = _two_type_setup(seed=86, conv_channels=(6, 6))
         monkeypatch.setattr(FastBatchedHeteroGCN, "DENSE_CAP", 4)
+        slow = px.Model(mdef, params, fast=False)
+        sampler = MaskSampler(
+            g.num_nodes, g.n_pad, {"interpret_samples": 16, "epochs": 4}, None
+        )
+        masks, _, _ = sampler.sample(jax.random.PRNGKey(2))
         eng = FastBatchedHeteroGCN(mdef, params, g)
-        masks = np.ones((4, g.n_pad), bool)
-        assert eng.query_outputs(masks, None, "graph_prediction") is None
+        got = np.asarray(eng.query_outputs(masks, None, "graph_prediction"))
+        assert eng._adj is None  # ELL tier never built the dense adjacency
+        want = np.asarray(
+            slow.perturbed_query_outputs(g, masks, "graph_prediction", None)
+        )
+        np.testing.assert_allclose(want, got, rtol=1e-4, atol=1e-5)
+
+    def test_unrestricted_node_beyond_cap_ell(self, monkeypatch):
+        """Unrestricted node forwards beyond DENSE_CAP: ELL tier parity."""
+        g, mdef, params = _two_type_setup(seed=87, conv_channels=(6, 6))
+        monkeypatch.setattr(FastBatchedHeteroGCN, "DENSE_CAP", 4)
+        slow = px.Model(mdef, params, fast=False)
+        sampler = MaskSampler(
+            g.num_nodes, g.n_pad, {"interpret_samples": 16, "epochs": 4}, None
+        )
+        masks, _, _ = sampler.sample(jax.random.PRNGKey(3))
+        eng = FastBatchedHeteroGCN(mdef, params, g, restrict=False)
+        got = np.asarray(eng.query_outputs(masks, 3, "node_prediction"))
+        assert eng._adj is None
+        want = np.asarray(
+            slow.perturbed_query_outputs(g, masks, "node_prediction", 3)
+        )
+        np.testing.assert_allclose(want, got, rtol=1e-4, atol=1e-5)
+
+    def test_ell_tier_matches_dense_tier(self):
+        """batch_node_outputs_ell == batch_node_outputs on a dense-sized
+        graph (same engine, both tiers live)."""
+        g, mdef, params = _two_type_setup(seed=88, conv_channels=(6, 6))
+        eng = FastBatchedHeteroGCN(mdef, params, g)
+        rng = np.random.default_rng(0)
+        masks = rng.random((8, g.n_pad)) < 0.7
+        a = np.asarray(eng.batch_node_outputs(masks))
+        b = np.asarray(eng.batch_node_outputs_ell(masks))
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
