@@ -485,6 +485,58 @@ def bench_hetero_explanations_per_sec(n_per_type=4000, e_per_rel=24_000,
     return q / _best_of(lambda: px.explain_many(model, g, queries, CFG_FULL))
 
 
+def bench_hetero_fullgraph_forwards(
+    n_per_type=BIG_N // 2, e_per_rel=BIG_E // 3, b=B_BIG, seed=11
+):
+    """Big-hetero unrestricted forwards/s: the ELL-tier workload.
+
+    2 node types x 3 relations at the homo fullgraph scale (~1e5 nodes /
+    ~1e6 edges, the reference's stated KG target scale, README.md:50) —
+    graph-problem masked forwards through
+    ``FastBatchedHeteroGCN.batch_node_outputs_ell``.  Comparable to
+    ``fullgraph_forwards_per_sec`` (same node/edge totals, B, chunk); the
+    reference's hetero path would run a Python loop per perturbation here
+    (``model.py:196-249``)."""
+    import jax
+    import jax.numpy as jnp
+
+    import bikg_graph_explainability_public_tpu as px
+    from bikg_graph_explainability_public_tpu.graph import hetero_to_homo
+    from bikg_graph_explainability_public_tpu.models.fast_hetero import (
+        FastBatchedHeteroGCN,
+    )
+
+    rng = np.random.default_rng(seed)
+    f = 32
+    feat = {
+        "a": rng.normal(size=(n_per_type, f)).astype(np.float32),
+        "b": rng.normal(size=(n_per_type, f)).astype(np.float32),
+    }
+    relations = [("a", "r1", "b"), ("b", "r2", "a"), ("a", "r3", "a")]
+    ei = {
+        r: np.stack([
+            rng.integers(0, n_per_type, e_per_rel),
+            rng.integers(0, n_per_type, e_per_rel),
+        ]) for r in relations
+    }
+    g, _info = hetero_to_homo(feat, ei)
+    mdef = px.hetero_gcn_for_relations(
+        ["a", "b"], relations, in_features=f,
+        conv_channels=(HIDDEN, HIDDEN), fc_channels=(HIDDEN, 64),
+    )
+    params = mdef.init(jax.random.PRNGKey(seed))
+    engine = FastBatchedHeteroGCN(mdef, params, g)
+    assert g.n_pad > engine.DENSE_CAP  # must exercise the ELL tier
+    masks = jnp.asarray(rng.random((b, g.n_pad)) > 0.3)
+    dt = _marginal_time(
+        lambda m: engine.query_outputs(
+            m, None, "graph_prediction", chunk_size=BIG_CHUNK
+        ),
+        masks,
+    )
+    return b / dt
+
+
 # ---------------------------------------------------------------------------
 # weak scaling on a virtual CPU mesh (subprocess: needs its own JAX platform)
 # ---------------------------------------------------------------------------
@@ -611,6 +663,7 @@ def main():
         *make_graph(BIG_N, BIG_E, seed=0), B_BIG, BIG_CHUNK,
         problem="graph_prediction",
     )
+    het_big_fps = bench_hetero_fullgraph_forwards()
     spmm = bench_spmm_sol()
     eps = bench_explanations_per_sec()
     eps_comm = bench_community_explanations_per_sec()
@@ -631,6 +684,11 @@ def main():
         "fullgraph_forwards_per_sec": round(big_fps, 2),
         "fullgraph_vs_baseline": round(big_fps / baselines["big_fps"], 2),
         "fullgraph_edges_per_sec_per_chip": round(big_fps * BIG_E, 0),
+        "hetero_fullgraph_workload": (
+            f"graph-problem 2x{BIG_N // 2}n/3x{BIG_E // 3}e 3rel B={B_BIG}"
+        ),
+        "hetero_fullgraph_forwards_per_sec": round(het_big_fps, 2),
+        "hetero_vs_homo_fullgraph": round(het_big_fps / big_fps, 3),
         "explanations_per_sec": round(eps, 3),
         "community_explanations_per_sec": round(eps_comm, 3),
         "hetero_explanations_per_sec": round(eps_het, 3),

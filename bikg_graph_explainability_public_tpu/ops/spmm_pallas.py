@@ -69,6 +69,13 @@ _RUN_CLASSES = (16, 8, 4, 2, 1)
 #: (1.6 MB at NB=3125), which overflows the scalar core's memory.
 _NCNT = len(_RUN_CLASSES) + 1
 
+#: zero-store run classes for the v5 plan (invalid-slot suffixes per table
+#: row, zeroed in-VMEM so the fused kernel's plain row sum is exact)
+_ZERO_CLASSES = (16, 8, 4, 2, 1)
+
+#: v5 cnt layout: DMA run classes, zero-run classes, total transferred rows
+_NCNT5 = len(_RUN_CLASSES) + len(_ZERO_CLASSES) + 1
+
 
 class CompactPlan(NamedTuple):
     """Host-built compact, run-coalesced DMA plan for one
@@ -112,8 +119,30 @@ def _pick_tr(k: int, row_bytes: int) -> int:
     return max(min(tr, 64), 0)
 
 
+def _decompose_runs(first, length, classes):
+    """Greedy class decomposition of runs: returns (start, cls) entry
+    arrays — start positions in the runs' index space, class indices."""
+    ent_pos, ent_cls = [], []
+    rem = length
+    base = np.zeros(length.size, np.int64)
+    for ci, cl in enumerate(classes):
+        c_cl = rem // cl
+        rem = rem - c_cl * cl
+        tot = int(c_cl.sum())
+        if tot:
+            cum = np.zeros(length.size + 1, np.int64)
+            np.cumsum(c_cl, out=cum[1:])
+            local = np.arange(tot) - np.repeat(cum[:-1], c_cl)
+            ent_pos.append(np.repeat(first + base, c_cl) + local * cl)
+            ent_cls.append(np.full(tot, ci, np.int64))
+        base = base + c_cl * cl
+    if not ent_pos:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(ent_pos), np.concatenate(ent_cls)
+
+
 def build_compact_plan(
-    nbr: np.ndarray, valid: np.ndarray, tr: int
+    nbr: np.ndarray, valid: np.ndarray, tr: int, mode: str = "v3"
 ) -> CompactPlan:
     """Build the run-coalesced compact DMA plan host-side.
 
@@ -122,11 +151,21 @@ def build_compact_plan(
     flattened valid-slot stream (a run breaks on block change, non-unit slot
     step, or non-unit source step), every run is greedily decomposed into
     ``_RUN_CLASSES`` entries, and entries land block-compact, class-major via
-    one stable lexsort."""
+    one stable lexsort.
+
+    ``mode="v5"``: the fused-sum kernel's plan — DMA runs additionally break
+    at table-ROW boundaries (the 5D gather scratch addresses slots as
+    (row, k)), and each row's invalid-slot suffix becomes zero-store entries
+    (``_ZERO_CLASSES`` decomposition, appended class-major after the block's
+    DMA entries; ``src`` is unused for them).  cnt grows to ``_NCNT5``
+    columns per block.
+    """
     n, k = nbr.shape
     n_pad = -(-n // tr) * tr
     nb = n_pad // tr
     trk = tr * k
+    v5 = mode == "v5"
+    ncnt = _NCNT5 if v5 else _NCNT
     v = np.zeros((n_pad, k), bool)
     v[:n] = valid > 0
     nb_full = np.zeros((n_pad, k), np.int64)
@@ -135,10 +174,10 @@ def build_compact_plan(
     nbb = nb_full.reshape(nb, trk)
     src = np.zeros((nb, trk), np.int32)
     dst = np.zeros((nb, trk), np.int32)
-    cnt = np.zeros((nb, _NCNT), np.int32)
+    cnt = np.zeros((nb, ncnt), np.int32)
     cnt[:, -1] = vb.sum(1)
     flat = np.nonzero(vb.ravel())[0]
-    if flat.size == 0:
+    if flat.size == 0 and not v5:
         return CompactPlan(src=src, dst=dst, cnt=cnt.reshape(-1), tr=tr)
     blk = (flat // trk).astype(np.int64)
     slot = (flat % trk).astype(np.int64)
@@ -147,25 +186,28 @@ def build_compact_plan(
     brk[1:] = (
         (np.diff(blk) != 0) | (np.diff(slot) != 1) | (np.diff(srcs) != 1)
     )
+    if v5:
+        brk |= slot % k == 0  # rows are separate scratch dims in 5D
     run_first = np.nonzero(brk)[0]
     run_len = np.diff(np.append(run_first, flat.size))
-    ent_pos, ent_cls = [], []
-    rem = run_len
-    base = np.zeros(run_len.size, np.int64)  # consumed offset within run
-    for ci, cl in enumerate(_RUN_CLASSES):
-        c_cl = rem // cl
-        rem = rem - c_cl * cl
-        tot = int(c_cl.sum())
-        if tot:
-            cum = np.zeros(run_len.size + 1, np.int64)
-            np.cumsum(c_cl, out=cum[1:])
-            local = np.arange(tot) - np.repeat(cum[:-1], c_cl)
-            ent_pos.append(np.repeat(run_first + base, c_cl) + local * cl)
-            ent_cls.append(np.full(tot, ci, np.int64))
-        base = base + c_cl * cl
-    pos = np.concatenate(ent_pos)
-    cls = np.concatenate(ent_cls)
+    pos, cls = _decompose_runs(run_first, run_len, _RUN_CLASSES)
     eb = blk[pos]
+    ent_src = srcs[pos].astype(np.int32)
+    ent_dst = slot[pos].astype(np.int32)
+    if v5:
+        # zero-store entries: per-row invalid suffix (valid slots are
+        # source-sorted first, so invalidity is a suffix by construction)
+        deg = v.sum(1).astype(np.int64)  # [n_pad] incl. all-pad rows
+        zrows = np.nonzero(deg < k)[0]
+        zfirst = zrows * k + deg[zrows]  # flat GLOBAL start of the suffix
+        zpos, zcls = _decompose_runs(zfirst, k - deg[zrows], _ZERO_CLASSES)
+        zb = zpos // trk
+        eb = np.concatenate([eb, zb])
+        cls = np.concatenate([cls, zcls + len(_RUN_CLASSES)])
+        ent_src = np.concatenate([ent_src, np.zeros(zpos.size, np.int32)])
+        ent_dst = np.concatenate(
+            [ent_dst, (zpos % trk).astype(np.int32)]
+        )
     np.add.at(cnt, (eb, cls), 1)
     # block-compact, class-major layout: stable sort by (block, class);
     # within equal keys the run order (ascending position) is preserved
@@ -173,11 +215,37 @@ def build_compact_plan(
     bc = cnt[:, :-1].sum(1, dtype=np.int64)  # entries per block
     first = np.zeros(nb + 1, np.int64)
     np.cumsum(bc, out=first[1:])
-    within = np.arange(pos.size) - np.repeat(first[:-1], bc)
+    within = np.arange(eb.size) - np.repeat(first[:-1], bc)
     eb_s = eb[order]
-    src[eb_s, within] = srcs[pos][order].astype(np.int32)
-    dst[eb_s, within] = slot[pos][order].astype(np.int32)
+    src[eb_s, within] = ent_src[order]
+    dst[eb_s, within] = ent_dst[order]
     return CompactPlan(src=src, dst=dst, cnt=cnt.reshape(-1), tr=tr)
+
+
+def _row_reduce(gbuf, w_ref, out_ref, slot, r, *, k, b, f, wb, mxu):
+    """Reduce ONE output row ``r`` of the block in gather slot ``slot``.
+
+    The unit of the fused issue+reduce schedule: small enough (K*W elements)
+    that Mosaic bundles its vector ops into the same VLIW region as the
+    scalar DMA-issue work it is interleaved with — the only way scalar issue
+    and the K-reduce overlap on the core (separate control-flow regions
+    serialise; measured full = noreduce + onlyreduce - none in the v3
+    schedule, benchmarks/exp_spmm_attrib.py).
+    """
+    rows_r = gbuf[slot, pl.ds(r * k, k)]  # [K, W/128, 128]
+    if mxu:
+        # static per-slot weights: w_ref block is [1, 1, TR*K]
+        wk = w_ref[0, 0, pl.ds(r * k, k)].reshape(k, 1, 1)
+        red = (rows_r.astype(jnp.float32) * wk).sum(axis=0)
+        out_ref[pl.ds(r, 1)] = red.reshape(1, -1)
+    else:
+        # per-slot per-sample weights: w_ref block is [TR*K, wb]; the
+        # select (not a multiply) zeroes never-DMA'd slots even when the
+        # stale bits are non-finite
+        g4 = rows_r.reshape(k, b, f)
+        wk = w_ref[pl.ds(r * k, k)].reshape(k, wb, 1)
+        msg = jnp.where(wk != 0.0, wk * g4.astype(jnp.float32), 0.0)
+        out_ref[pl.ds(r, 1)] = msg.sum(axis=0).reshape(1, b * f)
 
 
 def _kernel(cnt_ref, src_ref, dst_ref, w_ref, x_hbm, out_ref,
@@ -328,8 +396,262 @@ def _kernel(cnt_ref, src_ref, dst_ref, w_ref, x_hbm, out_ref,
                     wait_rows(1).wait()
 
 
+def _kernel_fused(cnt_ref, src_ref, dst_ref, w_ref, x_hbm, out_ref,
+                  gbuf, sems, *, tr, k, b, f, g, wb, mxu, ablate=""):
+    """Fused issue+reduce schedule (v4).
+
+    Same triple-buffered dataflow as :func:`_kernel` (issue block s, reduce
+    block s-2, wait block s-1) but the K-reduce is interleaved INTO the
+    DMA-issue loop at row granularity: iteration ``i`` issues single-row
+    chunk ``i`` of block s (scalar work) AND reduces output row ``i`` of
+    block s-2 (vector work) in the same loop body, so Mosaic bundles them
+    into one VLIW region and the VPU crunches while the scalar core issues.
+    In the v3 schedule the issue loop, the reduce and the waits are three
+    control-flow regions that the core executes strictly in order —
+    measured full = noreduce + onlyreduce - none
+    (benchmarks/exp_spmm_attrib.py); fusing is the only way to overlap
+    them on a single TensorCore.
+
+    ``ablate`` matches :func:`_kernel` where meaningful ("noreduce",
+    "none"); the MXU block-diagonal reduce does not exist here — the
+    per-row reduce is VPU-only, which also removes the TR-fold FLOP
+    redundancy of the block-diagonal form, so TR can grow to amortise grid
+    overhead without multiplying MXU work.
+    """
+    s = pl.program_id(0)
+    nb = pl.num_programs(0) - 2
+
+    def start_dma(slot, rr, ln):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(src_ref[0, 0, rr], ln)],
+            gbuf.at[slot, pl.ds(dst_ref[0, 0, rr], ln)],
+            sems.at[slot],
+        )
+
+    if ablate == "none":
+        return
+
+    if mxu:
+        # stale slots flow through a multiply: zero once so they are finite
+        @pl.when(s == 0)
+        def _():
+            gbuf[0] = jnp.zeros_like(gbuf[0])
+            gbuf[1] = jnp.zeros_like(gbuf[1])
+            gbuf[2] = jnp.zeros_like(gbuf[2])
+
+    slot_i = jax.lax.rem(s, 3)
+    slot_r = jax.lax.rem(s - 2, 3)
+    do_issue = s < nb
+    do_reduce = s >= 2
+    if ablate == "noreduce":
+        @pl.when(do_reduce)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+    # multi-row run classes: scalar-only issues (near-empty on random
+    # graphs, where runs barely form)
+    base = 0
+    for ci, cl in enumerate(_RUN_CLASSES[:-1]):
+        c_cl = jnp.where(do_issue, cnt_ref[s * _NCNT + ci], 0)
+
+        def body(i, _, b0=base, ln=cl):
+            start_dma(slot_i, b0 + i, ln).start()
+            return 0
+
+        jax.lax.fori_loop(0, c_cl, body, 0, unroll=False)
+        base = base + c_cl
+
+    c1 = jnp.where(do_issue, cnt_ref[s * _NCNT + len(_RUN_CLASSES) - 1], 0)
+    nch = c1 // g
+    n_red = jnp.where(do_reduce, tr, 0) if ablate != "noreduce" else 0
+
+    def fused_body(i, _, b0=base):
+        @pl.when(i < nch)
+        def _():
+            off = b0 + i * g
+            for j in range(g):
+                start_dma(slot_i, off + j, 1).start()
+
+        @pl.when(i < n_red)
+        def _():
+            _row_reduce(gbuf, w_ref, out_ref, slot_r, i,
+                        k=k, b=b, f=f, wb=wb, mxu=mxu)
+        return 0
+
+    jax.lax.fori_loop(0, jnp.maximum(nch, n_red), fused_body, 0,
+                      unroll=False)
+    tail = base + nch * g
+    for j in range(g):
+        @pl.when(nch * g + j < c1)
+        def _():
+            start_dma(slot_i, tail + j, 1).start()
+
+    # drain block s-1's rows (see _kernel step 3)
+    @pl.when((s >= 1) & (s <= nb))
+    def _():
+        slot = jax.lax.rem(s - 1, 3)
+        rows_total = cnt_ref[(s - 1) * _NCNT + len(_RUN_CLASSES)]
+        nch_w = rows_total // g
+
+        def wait_rows(r):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(0, r)],
+                gbuf.at[slot, pl.ds(0, r)],
+                sems.at[slot],
+            )
+
+        jax.lax.fori_loop(
+            0, nch_w, lambda ci, _: (wait_rows(g).wait(), 0)[1],
+            0, unroll=False)
+        for j in range(g):
+            @pl.when(nch_w * g + j < rows_total)
+            def _():
+                wait_rows(1).wait()
+
+
+def _kernel_v5(cnt_ref, src_ref, dst_ref, x_hbm, out_ref,
+               gbuf, sems, *, tr, k, g, rpi, ablate=""):
+    """Fused issue+sum schedule over a 5D gather scratch (static weights).
+
+    The static/separable path needs no in-kernel weights at all: the plan
+    lists zero-store entries covering every invalid slot of a block
+    (per-row suffixes — rows are source-sorted, so invalidity is a suffix),
+    the kernel stores zeros there at issue time, and the K-reduce is a
+    plain ``sum`` over the scratch's K dim.  The scratch is
+    ``[3, TR, K, Wp, 128]`` — slot row and k-position are UNTILED dims, so
+    every dynamic index (single-row DMA targets, zero-store starts,
+    ``rpi``-row sum slices) is alignment-free; ``rpi`` rows per fused
+    iteration keep the out store's sublane offset a static multiple of 8
+    and ``rpi*k`` a lane multiple of 128.
+
+    Schedule per grid step s (same triple-buffered dataflow as v3): zero +
+    issue block s into slot s%3 with output-row sums of block s-2
+    interleaved INTO the same loop (one VLIW region — the only way scalar
+    DMA issue and the VPU sum share bundles; in v3 they are separate
+    control-flow regions and serialise, full = noreduce + onlyreduce -
+    none, benchmarks/exp_spmm_attrib.py), then wait block s-1.
+    """
+    s = pl.program_id(0)
+    nb = pl.num_programs(0) - 2
+    if ablate == "none":
+        return
+
+    slot_i = jax.lax.rem(s, 3)
+    slot_r = jax.lax.rem(s - 2, 3)
+    do_issue = s < nb
+    nzc = len(_RUN_CLASSES) + len(_ZERO_CLASSES)
+
+    def start_dma(rr, ln):
+        d = dst_ref[0, 0, rr]
+        row = d // k
+        kp = d - row * k
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(src_ref[0, 0, rr], ln)],
+            gbuf.at[slot_i, row, pl.ds(kp, ln)],
+            sems.at[slot_i],
+        )
+
+    # zero-store classes: invalid-slot suffixes of block s (disjoint from
+    # the block's DMA targets, so ordering vs the issues is free)
+    base = 0
+    for ci, _cl in enumerate(_RUN_CLASSES):
+        base = base + jnp.where(
+            do_issue, cnt_ref[s * _NCNT5 + ci], 0
+        )
+    zbase = base
+    for zi, zl in enumerate(_ZERO_CLASSES):
+        c_z = jnp.where(
+            do_issue, cnt_ref[s * _NCNT5 + len(_RUN_CLASSES) + zi], 0
+        )
+
+        def zbody(i, _, b0=zbase, zl=zl):
+            d = dst_ref[0, 0, b0 + i]
+            row = d // k
+            kp = d - row * k
+            gbuf[slot_i, row, pl.ds(kp, zl)] = jnp.zeros(
+                (zl,) + gbuf.shape[3:], gbuf.dtype
+            )
+            return 0
+
+        jax.lax.fori_loop(0, c_z, zbody, 0, unroll=False)
+        zbase = zbase + c_z
+
+    # multi-row DMA run classes (scalar only; near-empty on random graphs)
+    base = 0
+    for ci, cl in enumerate(_RUN_CLASSES[:-1]):
+        c_cl = jnp.where(do_issue, cnt_ref[s * _NCNT5 + ci], 0)
+
+        def body(i, _, b0=base, ln=cl):
+            start_dma(b0 + i, ln).start()
+            return 0
+
+        jax.lax.fori_loop(0, c_cl, body, 0, unroll=False)
+        base = base + c_cl
+
+    # fused loop: single-row DMA chunks of block s interleaved with
+    # rpi-row sums of block s-2 in ONE loop body
+    c1 = jnp.where(
+        do_issue, cnt_ref[s * _NCNT5 + len(_RUN_CLASSES) - 1], 0
+    )
+    nch = c1 // g
+    n_red = jnp.where(s >= 2, tr // rpi, 0)
+    if ablate == "noreduce":
+        n_red = 0
+
+        @pl.when(s >= 2)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+    def fused_body(i, _, b0=base):
+        @pl.when(i < nch)
+        def _():
+            off = b0 + i * g
+            for j in range(g):
+                start_dma(off + j, 1).start()
+
+        @pl.when(i < n_red)
+        def _():
+            rows = gbuf[slot_r, pl.ds(i * rpi, rpi)]  # [rpi, K, Wp, 128]
+            red = rows.astype(jnp.float32).sum(axis=1)
+            out_ref[pl.ds(i * rpi, rpi)] = red.reshape(rpi, -1)
+        return 0
+
+    jax.lax.fori_loop(0, jnp.maximum(nch, n_red), fused_body, 0,
+                      unroll=False)
+    tail = base + nch * g
+    for j in range(g):
+        @pl.when(nch * g + j < c1)
+        def _():
+            start_dma(tail + j, 1).start()
+
+    # drain block s-1's rows: wait descriptors in K-row chunks (the 5D
+    # scratch has no contiguous >K-row view; waits consume (sem, size)
+    # only, so any same-sized descriptor pair works)
+    @pl.when((s >= 1) & (s <= nb))
+    def _():
+        slot = jax.lax.rem(s - 1, 3)
+        rows_total = cnt_ref[(s - 1) * _NCNT5 + nzc]
+        nch_w = rows_total // k
+
+        def wait_rows(r):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(0, r)],
+                gbuf.at[slot, 0, pl.ds(0, r)],
+                sems.at[slot],
+            )
+
+        jax.lax.fori_loop(
+            0, nch_w, lambda ci, _: (wait_rows(k).wait(), 0)[1],
+            0, unroll=False)
+        for j in range(k):
+            @pl.when(nch_w * k + j < rows_total)
+            def _():
+                wait_rows(1).wait()
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k", "tr", "b", "n", "interpret", "ablate")
+    jax.jit, static_argnames=("k", "tr", "b", "n", "interpret", "ablate",
+                              "sched")
 )
 def spmm_ell_pallas(
     plan_src: jax.Array,   # CompactPlan.src
@@ -344,12 +666,31 @@ def spmm_ell_pallas(
     n: Optional[int] = None,
     interpret: bool = False,
     ablate: str = "",
+    sched: str = "v3",
 ) -> jax.Array:            # [N, W] f32
-    """Blocked-ELL SpMM kernel: out[v] = sum_k w[v,k] * feats[nbr[v,k]]."""
+    """Blocked-ELL SpMM kernel: out[v] = sum_k w[v,k] * feats[nbr[v,k]].
+
+    ``sched``:
+    - "v5" (static mode only): fused issue+sum over a 5D gather scratch —
+      the plan must be built with ``build_compact_plan(..., mode="v5")``
+      (row-broken runs + zero-store entries); ``w_slot`` is ignored beyond
+      shape dispatch.
+    - "fused": v4 — K-reduce interleaved into the DMA-issue loop.
+    - "v3": three-region schedule (block-diagonal MXU static reduce).
+    """
     mxu = w_slot.ndim == 2
     w_width = feats.shape[1]
     f = w_width // b
     rows = tr * k
+    if sched == "v5":
+        if not mxu:
+            raise ValueError("sched='v5' serves the static mode only")
+        if n is None:
+            raise ValueError("static mode requires n")
+        return _spmm_v5(
+            plan_src, plan_dst, plan_cnt, feats, k=k, tr=tr, n=n,
+            interpret=interpret, ablate=ablate,
+        )[:n]
     if mxu:
         if n is None:
             raise ValueError("static (2D-weight) mode requires n")
@@ -372,7 +713,8 @@ def spmm_ell_pallas(
     while rows % g:
         g //= 2
     kern = functools.partial(
-        _kernel, tr=tr, k=k, b=b, f=f, g=g, wb=wb, mxu=mxu, ablate=ablate
+        _kernel_fused if sched == "fused" else _kernel,
+        tr=tr, k=k, b=b, f=f, g=g, wb=wb, mxu=mxu, ablate=ablate,
     )
     x3 = feats.reshape(feats.shape[0], w_width // 128, 128)
     gbuf_bytes = 3 * rows * w_width * feats.dtype.itemsize
@@ -427,6 +769,67 @@ def spmm_ell_pallas(
         x3,
     )
     return out[:n]
+
+
+def _spmm_v5(
+    plan_src, plan_dst, plan_cnt, feats, *, k, tr, n, interpret, ablate=""
+):
+    """pallas_call wrapper for the v5 fused-sum schedule (static weights).
+
+    5D gather scratch [3, TR, K, Wp, 128]; no weight input (the plan's
+    zero-stores make the plain row sum exact).  Returns [n_pad, W] f32.
+    """
+    w_width = feats.shape[1]
+    wp = w_width // 128
+    rows = tr * k
+    rpi = 8 if (8 * k) % 128 == 0 else 16
+    if tr % rpi:
+        raise ValueError(f"tr={tr} must be a multiple of {rpi}")
+    n_pad = -(-n // tr) * tr
+    nb_blocks = n_pad // tr
+    g = _G
+    while rows % g:
+        g //= 2
+    kern = functools.partial(
+        _kernel_v5, tr=tr, k=k, g=g, rpi=rpi, ablate=ablate
+    )
+    x3 = feats.reshape(feats.shape[0], wp, 128)
+    gbuf_bytes = 3 * rows * w_width * feats.dtype.itemsize
+    last = nb_blocks - 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb_blocks + 2,),
+        in_specs=[
+            pl.BlockSpec((1, 1, rows),
+                         lambda s, c: (jnp.minimum(s, last), 0, 0),
+                         memory_space=pltpu.SMEM),  # plan src
+            pl.BlockSpec((1, 1, rows),
+                         lambda s, c: (jnp.minimum(s, last), 0, 0),
+                         memory_space=pltpu.SMEM),  # plan dst
+            pl.BlockSpec(memory_space=pl.ANY),  # feats (HBM)
+        ],
+        out_specs=pl.BlockSpec((tr, w_width),
+                               lambda s, c: (jnp.maximum(s - 2, 0), 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, tr, k, wp, 128), feats.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, w_width), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=gbuf_bytes + 32 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        plan_cnt,
+        plan_src.reshape(nb_blocks, 1, rows),
+        plan_dst.reshape(nb_blocks, 1, rows),
+        x3,
+    )
 
 
 _PLAN_CACHE: dict = {}
