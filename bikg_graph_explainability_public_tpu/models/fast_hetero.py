@@ -128,25 +128,26 @@ class FastBatchedHeteroGCN:
         et = hv.edge_type[: graph.num_edges]
         eids = np.arange(graph.num_edges, dtype=np.int32)
         keep_ns = snd != rcv  # gcn_norm drops data self-loops (ops/norm)
+        # everything cached here stays HOST NUMPY: _ell_setup runs lazily
+        # inside the first traced forward, and jnp constants created inside
+        # a trace are tracers — caching them on self leaks them out
         tables, snds_s, rcvs_s, tables_s = [], [], [], []
         for ri in range(len(self.model_def.relations)):
             sel = keep_ns & (et == ri)
             table = build_neighbor_table_edges(
-                graph.n_pad, snd[sel], rcv[sel], eids[sel]
+                graph.n_pad, snd[sel], rcv[sel], eids[sel], to_jax=False
             )
             _ptr, col, pe = native.build_csr(
                 graph.n_pad, snd[sel], rcv[sel]
             )
-            snds_s.append(jnp.asarray(col))
-            rcvs_s.append(jnp.asarray(rcv[sel][pe]))
+            snds_s.append(np.asarray(col))
+            rcvs_s.append(np.asarray(rcv[sel][pe]))
             # slot eid -> position in the relation's receiver-sorted order
             # (the pallas weighted path gathers [E_r, B] weights by slot)
             inv = np.zeros(graph.e_pad, np.int32)
             inv[eids[sel][pe]] = np.arange(len(pe), dtype=np.int32)
             tables.append(table)
-            tables_s.append(
-                table._replace(eid=jnp.asarray(inv)[table.eid])
-            )
+            tables_s.append(table._replace(eid=inv[table.eid]))
         self._ell = (tables, snds_s, rcvs_s, tables_s)
         return self._ell
 

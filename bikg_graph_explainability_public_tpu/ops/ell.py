@@ -67,12 +67,16 @@ def build_neighbor_table_edges(
     eids: np.ndarray,
     *,
     k: Optional[int] = None,
+    to_jax: bool = True,
 ) -> NeighborTable:
     """Build a table from explicit edge arrays (already filtered).
 
     The per-relation entry: hetero engines pass each relation's edge subset
     (``eids`` are ORIGINAL edge ids, so edge-problem masks index correctly);
     :func:`build_neighbor_table` passes a whole graph's valid edges.
+    ``to_jax=False`` keeps the fields host numpy — REQUIRED when the caller
+    caches the table across jit traces (a ``jnp.asarray`` issued inside a
+    trace is a tracer; caching it leaks it out of the trace).
     """
     if k is None:
         k = max(native.max_degree(n, rcv), 1)
@@ -96,10 +100,11 @@ def build_neighbor_table_edges(
     nbr = nbr[rows, order]
     eid_full = eid_full[rows, order]
     valid = valid[rows, order]
+    conv = jnp.asarray if to_jax else np.asarray
     return NeighborTable(
-        nbr=jnp.asarray(nbr),
-        valid=jnp.asarray(valid.astype(np.float32)),
-        eid=jnp.asarray(eid_full),
+        nbr=conv(nbr),
+        valid=conv(valid.astype(np.float32)),
+        eid=conv(eid_full),
     )
 
 
