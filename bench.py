@@ -54,7 +54,10 @@ import numpy as np
 # primary: subgraph-scale hot loop
 SUB_N, SUB_E, B_SUB = 2048, 16384, 1000
 # secondary: full-graph stress
-BIG_N, BIG_E, B_BIG, BIG_CHUNK = 100_000, 1_000_000, 64, 16
+# BIG_CHUNK=32: 16 KB aggregation rows — the v6 SpMM kernel's DMA issue
+# cost amortises with row width (chunk sweep measured 253.5 f/s at 16 vs
+# 346.0 at 32 on the fullgraph workload)
+BIG_N, BIG_E, B_BIG, BIG_CHUNK = 100_000, 1_000_000, 64, 32
 N_FEATS, HIDDEN = 84, 128
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
 
@@ -300,7 +303,7 @@ def bench_masked_forwards(
     return fps, mfu
 
 
-def bench_spmm_sol(n=BIG_N, e=BIG_E, b=16, f=128, seed=0):
+def bench_spmm_sol(n=BIG_N, e=BIG_E, b=BIG_CHUNK, f=128, seed=0):
     """Achieved bytes/s of the batched sparse aggregation vs HBM roofline.
 
     Minimum-traffic model for out[v] = sum_e w[e,:] * feats[snd_e]:

@@ -12,6 +12,14 @@ output is the relation sum.  The whole perturbation batch is einsum work:
 This eliminates the reference's worst bottleneck wholesale: its hetero path
 runs a *Python loop per perturbation* (``/root/reference/src/
 pathway_explanations/model.py:196-249``).
+
+Above ``DENSE_CAP`` padded nodes the dense [R, N, N] formulation gives way
+to the per-relation **ELL tier** (:meth:`FastBatchedHeteroGCN.
+batch_node_outputs_ell`): padded neighbour tables per relation, the layer-1
+gather shared across the batch, and layers >= 2 on the rank-1 separable
+batched SpMM (blocked-ELL Pallas kernel at wide rows) — the hetero analogue
+of :meth:`.fast_gcn.FastBatchedGCN.batch_node_outputs`, serving the
+reference's stated >=1e5-node KG scale (``README.md:50``).
 """
 
 from __future__ import annotations

@@ -813,6 +813,16 @@ def _kernel_v6(cnt_ref, src_ref, dst_ref, deg_ref, x_hbm, out_ref,
     slot_r = jax.lax.rem(s - 2, 3)
     do_issue = s < nb
 
+    # the reduce multiplies by the degree mask (mul+acc fuses to one VPU
+    # FMA per element; a select would be a second pass) — stale slots must
+    # be finite, so zero the scratch once (afterwards they hold earlier
+    # blocks' finite rows)
+    @pl.when(s == 0)
+    def _():
+        gbuf[0] = jnp.zeros_like(gbuf[0])
+        gbuf[1] = jnp.zeros_like(gbuf[1])
+        gbuf[2] = jnp.zeros_like(gbuf[2])
+
     def start_dma(rr, ln):
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(src_ref[0, 0, rr], ln)],
@@ -845,21 +855,38 @@ def _kernel_v6(cnt_ref, src_ref, dst_ref, deg_ref, x_hbm, out_ref,
     # tpu.iota is integer-only; the degree block converts instead
     j_iota = jax.lax.broadcasted_iota(jnp.int32, (1, k, 1, 128), 1)
 
-    def fused_body(i, _, b0=base):
-        @pl.when(i < nch)
-        def _():
-            off = b0 + i * g
-            for j in range(g):
-                start_dma(off + j, 1).start()
+    def issue_chunk(i, b0=base):
+        off = b0 + i * g
+        for j in range(g):
+            start_dma(off + j, 1).start()
 
-        @pl.when(i < n_red)
+    def reduce_group(i):
+        rows = gbuf[slot_r, pl.ds(i * rpi * k, rpi * k)]
+        r4 = rows.reshape(rpi, k, rows.shape[1], 128)
+        dg = deg_ref[0, pl.ds(i * rpi, rpi)]  # [rpi, 1, 128]
+        okf = (j_iota < dg[:, None].astype(jnp.int32)).astype(
+            r4.dtype
+        )  # [rpi, k, 1, 128]
+        red = (r4 * okf).astype(jnp.float32).sum(axis=1)
+        out_ref[pl.ds(i * rpi, rpi)] = red.reshape(rpi, -1)
+
+    # the scalar DMA issues and the VPU reduce only share VLIW bundles
+    # inside ONE region — a pl.when is an scf.if region boundary, so the
+    # both-active case carries them together; the excess of the longer
+    # stream runs in its single-purpose branch
+    def fused_body(i, _):
+        @pl.when((i < nch) & (i < n_red))
         def _():
-            rows = gbuf[slot_r, pl.ds(i * rpi * k, rpi * k)]
-            r4 = rows.reshape(rpi, k, rows.shape[1], 128)
-            dg = deg_ref[0, pl.ds(i * rpi, rpi)]  # [rpi, 1, 128]
-            ok = j_iota < dg[:, None].astype(jnp.int32)  # [rpi, k, 1, 128]
-            red = jnp.where(ok, r4.astype(jnp.float32), 0.0).sum(axis=1)
-            out_ref[pl.ds(i * rpi, rpi)] = red.reshape(rpi, -1)
+            issue_chunk(i)
+            reduce_group(i)
+
+        @pl.when((i < nch) & (i >= n_red))
+        def _():
+            issue_chunk(i)
+
+        @pl.when((i >= nch) & (i < n_red))
+        def _():
+            reduce_group(i)
         return 0
 
     jax.lax.fori_loop(0, jnp.maximum(nch, n_red), fused_body, 0,
@@ -1128,9 +1155,12 @@ def gather_sum_static(
         (plan.tr,),
         lambda: _static_weights(np.asarray(table.valid), plan.tr),
     )
+    # v6 fused masked-sum schedule: 375 GB/s vs v3's 276 at the 100k/1M
+    # B=16 workload, and bitwise exact (v3's MXU block-diagonal reduce
+    # carries single-pass-bf16 error) — benchmarks/exp_spmm_v5.py
     return spmm_ell_pallas(
         plan.src, plan.dst, plan.cnt, w2, feats,
-        k=table.k, tr=plan.tr, b=b, n=n, interpret=interpret,
+        k=table.k, tr=plan.tr, b=b, n=n, interpret=interpret, sched="v6",
     )
 
 
