@@ -39,6 +39,7 @@ from .models.gnn import (
     graph_conv_node_model,
     hetero_gcn_for_relations,
     hetero_gat_for_relations,
+    hetero_sage_for_relations,
     sage_node_model,
 )
 from .models.layers import (
@@ -88,6 +89,7 @@ __all__ = [
     "sage_node_model",
     "hetero_gcn_for_relations",
     "hetero_gat_for_relations",
+    "hetero_sage_for_relations",
     "RGCNNodeModel",
     "GCNConv",
     "GATConv",

@@ -489,6 +489,28 @@ def hetero_gcn_for_relations(
     return HeteroGNN(node_type_names, layers, fc_channels, out_features)
 
 
+def hetero_sage_for_relations(
+    node_type_names: Sequence[str],
+    relations: Sequence[Tuple[str, str, str]],
+    in_features: int,
+    conv_channels: Sequence[int] = (16,),
+    fc_channels: Sequence[int] = (16, 16, 32),
+    out_features: int = 1,
+) -> HeteroGNN:
+    """HeteroGNN with per-relation SAGEConvs (PyG ``to_hetero`` of a
+    GraphSAGE stack: each relation's mean-aggregate + root transform lands
+    on its destination type only, summed across relations — SAGEConv's
+    ``dst_scope`` zeroes the root term off-type)."""
+    from .layers import SAGEConv
+
+    layers = []
+    prev = in_features
+    for c in conv_channels:
+        layers.append({tuple(r): SAGEConv(prev, c) for r in relations})
+        prev = c
+    return HeteroGNN(node_type_names, layers, fc_channels, out_features)
+
+
 def hetero_gat_for_relations(
     node_type_names: Sequence[str],
     relations: Sequence[Tuple[str, str, str]],

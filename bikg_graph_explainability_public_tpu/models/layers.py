@@ -484,7 +484,14 @@ class SAGEConv:
         *,
         dst_scope: Optional[jax.Array] = None,
     ) -> jax.Array:
-        """Mean-aggregate neighbours + root transform (PyG-exact)."""
+        """Mean-aggregate neighbours + root transform (PyG-exact).
+
+        ``dst_scope`` zeroes the WHOLE contribution outside the relation's
+        destination type (root term and bias included): PyG ``to_hetero``
+        writes a relation's SAGEConv output only to dst-type rows — unlike
+        GCN/GAT, whose non-bias terms vanish without in-edges, the SAGE
+        root term ``lin_r(x)`` would otherwise leak onto every node type.
+        """
         num_nodes = x.shape[0]
         xin = x[:, : self.in_features]
         ew = edge_weight.astype(xin.dtype)
@@ -493,11 +500,9 @@ class SAGEConv:
         agg = num / jnp.where(den > 0, den, 1.0)[:, None]
         out = agg @ params["lin_l"]["weight"].T + xin @ params["lin_r"]["weight"].T
         if "bias" in params["lin_l"]:
-            b = params["lin_l"]["bias"]
-            if dst_scope is not None:
-                out = out + b * dst_scope.astype(out.dtype)[:, None]
-            else:
-                out = out + b
+            out = out + params["lin_l"]["bias"]
+        if dst_scope is not None:
+            out = out * dst_scope.astype(out.dtype)[:, None]
         return out
 
 

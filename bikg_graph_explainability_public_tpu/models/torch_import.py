@@ -99,6 +99,46 @@ def hetero_gcn_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
     return {"conv": conv_layers, "fc": fc_params}
 
 
+def hetero_sage_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Map a HeteroConv-of-SAGEConv state dict to :class:`HeteroGNN` params.
+
+    Torch layout (PyG ``to_hetero`` / HeteroConv of SAGEConv):
+    ``conv.{2i}.convs.<src__rel__dst>.lin_l.{weight,bias}`` +
+    ``...lin_r.weight`` plus the homogeneous ``fc.*`` head.
+    """
+    conv_layers = []
+    i = 0
+    while True:
+        prefix = f"conv.{2 * i}.convs."
+        rel_keys = sorted(
+            {
+                k[len(prefix):].split(".")[0]
+                for k in sd
+                if k.startswith(prefix) and ".lin_l." in k
+            }
+        )
+        if not rel_keys:
+            break
+        layer = {}
+        for rel in rel_keys:
+            p = {
+                "lin_l": {"weight": _j(sd[f"{prefix}{rel}.lin_l.weight"])},
+                "lin_r": {"weight": _j(sd[f"{prefix}{rel}.lin_r.weight"])},
+            }
+            bk = f"{prefix}{rel}.lin_l.bias"
+            if bk in sd:
+                p["lin_l"]["bias"] = _j(sd[bk])
+            layer[rel] = p
+        conv_layers.append(layer)
+        i += 1
+    fc_params = _fc_params(sd)
+    if not conv_layers or not fc_params:
+        raise ValueError(
+            "state dict does not look like a HeteroConv SAGE stack"
+        )
+    return {"conv": conv_layers, "fc": fc_params}
+
+
 def _fc_params(sd: Dict[str, np.ndarray]):
     fc_params = []
     j = 0

@@ -290,3 +290,117 @@ class TestHeteroBeyondDenseCap:
         a = np.asarray(eng.batch_node_outputs(masks))
         b = np.asarray(eng.batch_node_outputs_ell(masks))
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+class TestHeteroSAGE:
+    """Per-relation SAGEConv through HeteroGNN: PyG to_hetero semantics —
+    every relation's output (root term included) lands on its destination
+    type only (round-4 importer-zoo widening)."""
+
+    def _setup(self, seed=90, conv_channels=(6,)):
+        rng = np.random.default_rng(seed)
+        feat = {
+            "a": rng.normal(size=(9, 5)).astype(np.float32),
+            "b": rng.normal(size=(7, 5)).astype(np.float32),
+        }
+        relations = [("a", "r1", "b"), ("b", "r2", "a"), ("a", "r3", "a")]
+        ei = {
+            ("a", "r1", "b"): np.stack(
+                [rng.integers(0, 9, 12), rng.integers(0, 7, 12)]
+            ),
+            ("b", "r2", "a"): np.stack(
+                [rng.integers(0, 7, 10), rng.integers(0, 9, 10)]
+            ),
+            ("a", "r3", "a"): np.stack(
+                [rng.integers(0, 9, 8), rng.integers(0, 9, 8)]
+            ),
+        }
+        g, info = hetero_to_homo(feat, ei)
+        mdef = px.hetero_sage_for_relations(
+            ["a", "b"], relations, in_features=5,
+            conv_channels=conv_channels,
+            fc_channels=(conv_channels[-1], 4),
+        )
+        params = mdef.init(jax.random.PRNGKey(seed))
+        return g, mdef, params, relations
+
+    def test_backbone_matches_dense_oracle(self):
+        from fixtures import dense_sage_conv
+        from bikg_graph_explainability_public_tpu.graph import host_view
+
+        g, mdef, params, relations = self._setup()
+        hv = host_view(g)
+        ne = g.num_edges
+        snd, rcv = hv.senders[:ne], hv.receivers[:ne]
+        et, nt = hv.edge_type[:ne], hv.node_type
+        got = np.asarray(
+            mdef.backbone(
+                params, g.x, g.senders, g.receivers,
+                g.edge_mask.astype(np.float32), g.node_type, g.edge_type,
+            )
+        )
+        x = np.asarray(hv.x, np.float64)
+        for li, layer in enumerate(mdef.conv_layers):
+            out = np.zeros((x.shape[0], 6))
+            for ri, (rel, conv) in enumerate(layer.items()):
+                p = params["conv"][li]["__".join(rel)]
+                keep = et == ri
+                contrib = dense_sage_conv(
+                    x.astype(np.float32),
+                    np.stack([snd[keep], rcv[keep]]),
+                    np.asarray(p["lin_l"]["weight"]),
+                    np.asarray(p["lin_l"].get("bias")),
+                    np.asarray(p["lin_r"]["weight"]),
+                )
+                scope = (
+                    nt == mdef.node_type_names.index(rel[-1])
+                ) & hv.node_mask
+                out += contrib * scope[:, None]
+            x = np.maximum(out, 0.0)
+        np.testing.assert_allclose(
+            got[np.asarray(hv.node_mask)], x[np.asarray(hv.node_mask)],
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_importer_roundtrip(self):
+        from bikg_graph_explainability_public_tpu.models.torch_import import (
+            hetero_sage_params,
+        )
+
+        g, mdef, params, relations = self._setup(seed=91)
+        sd = {}
+        for li, lp in enumerate(params["conv"]):
+            for rel_key, p in lp.items():
+                pre = f"conv.{2 * li}.convs.{rel_key}."
+                sd[pre + "lin_l.weight"] = np.asarray(p["lin_l"]["weight"])
+                sd[pre + "lin_l.bias"] = np.asarray(p["lin_l"]["bias"])
+                sd[pre + "lin_r.weight"] = np.asarray(p["lin_r"]["weight"])
+        for j, p in enumerate(params["fc"]):
+            sd[f"fc.{2 * j}.weight"] = np.asarray(p["weight"])
+            sd[f"fc.{2 * j}.bias"] = np.asarray(p["bias"])
+        imported = hetero_sage_params(sd)
+        a = np.asarray(
+            mdef.apply(
+                params, g.x, g.senders, g.receivers,
+                g.edge_mask.astype(np.float32), g.node_type, g.edge_type,
+            )
+        )
+        b = np.asarray(
+            mdef.apply(
+                imported, g.x, g.senders, g.receivers,
+                g.edge_mask.astype(np.float32), g.node_type, g.edge_type,
+            )
+        )
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+    def test_adapter_end_to_end(self):
+        g, mdef, params, _ = self._setup(seed=92)
+        with pytest.raises(TypeError):
+            FastBatchedHeteroGCN(mdef, params, g)  # SAGE is not the GCN tier
+        sampler = MaskSampler(
+            g.num_nodes, g.n_pad, {"interpret_samples": 4, "epochs": 2}, None
+        )
+        masks, _, _ = sampler.sample(jax.random.PRNGKey(92))
+        out = px.Model(mdef, params).perturbed_query_outputs(
+            g, masks, "node_prediction", 3
+        )
+        assert np.isfinite(np.asarray(out)).all()
