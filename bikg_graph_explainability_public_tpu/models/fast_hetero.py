@@ -111,6 +111,12 @@ class FastBatchedHeteroGCN:
             w = np.asarray(params["conv"][0]["__".join(rel)]["weight"])
             xw0.append(hv.x[:, : conv.in_features] @ w.T)
         self.xw0 = jnp.asarray(np.stack(xw0), dtype=dtype)  # [R, N, C1]
+        # big graphs run the ELL tier; build it at init (outside any trace)
+        # so its tables are device constants, not inline HLO literals
+        self._ell = None
+        self._ell_eager = n > self.DENSE_CAP
+        if self._ell_eager:
+            self._ell_setup()
 
     #: padded-node ceiling for the UNRESTRICTED dense [R, N, N] formulation;
     #: above it unrestricted node/graph forwards run the per-relation ELL
@@ -120,10 +126,16 @@ class FastBatchedHeteroGCN:
     DENSE_CAP = 4096
 
     def _ell_setup(self):
-        """Per-relation neighbour tables + receiver-sorted COO, built lazily
-        on first unrestricted big-graph use (the hetero analogue of
-        :class:`.fast_gcn.FastBatchedGCN`'s ELL tier — dense-mode engines and
-        restricted plans never pay it)."""
+        """Per-relation neighbour tables + receiver-sorted COO (the hetero
+        analogue of :class:`.fast_gcn.FastBatchedGCN`'s ELL tier).
+
+        Built EAGERLY at ``__init__`` for big graphs (``n_pad > DENSE_CAP``)
+        so the arrays are devices-side jit *constants* rather than inline
+        HLO literals — a lazily-built numpy table captured under a trace
+        ships ~50 MB of literals per relation and blows the remote
+        compiler's request-body limit.  Dense-mode engines never pay it;
+        a small-graph direct call (tests) builds lazily outside any trace.
+        """
         if getattr(self, "_ell", None) is not None:
             return self._ell
         from ..ops.ell import build_neighbor_table_edges
@@ -136,10 +148,8 @@ class FastBatchedHeteroGCN:
         et = hv.edge_type[: graph.num_edges]
         eids = np.arange(graph.num_edges, dtype=np.int32)
         keep_ns = snd != rcv  # gcn_norm drops data self-loops (ops/norm)
-        # everything cached here stays HOST NUMPY: _ell_setup runs lazily
-        # inside the first traced forward, and jnp constants created inside
-        # a trace are tracers — caching them on self leaks them out
         tables, snds_s, rcvs_s, tables_s = [], [], [], []
+        on_device = jnp.asarray if self._ell_eager else np.asarray
         for ri in range(len(self.model_def.relations)):
             sel = keep_ns & (et == ri)
             table = build_neighbor_table_edges(
@@ -148,14 +158,20 @@ class FastBatchedHeteroGCN:
             _ptr, col, pe = native.build_csr(
                 graph.n_pad, snd[sel], rcv[sel]
             )
-            snds_s.append(np.asarray(col))
-            rcvs_s.append(np.asarray(rcv[sel][pe]))
+            snds_s.append(on_device(col))
+            rcvs_s.append(on_device(rcv[sel][pe]))
             # slot eid -> position in the relation's receiver-sorted order
             # (the pallas weighted path gathers [E_r, B] weights by slot)
             inv = np.zeros(graph.e_pad, np.int32)
             inv[eids[sel][pe]] = np.arange(len(pe), dtype=np.int32)
+            eid_sorted = inv[np.asarray(table.eid)]
+            table = table._replace(
+                nbr=on_device(table.nbr),
+                valid=on_device(table.valid),
+                eid=on_device(table.eid),
+            )
             tables.append(table)
-            tables_s.append(table._replace(eid=inv[table.eid]))
+            tables_s.append(table._replace(eid=on_device(eid_sorted)))
         self._ell = (tables, snds_s, rcvs_s, tables_s)
         return self._ell
 
