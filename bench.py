@@ -530,14 +530,24 @@ def bench_hetero_fullgraph_forwards(
     params = mdef.init(jax.random.PRNGKey(seed))
     engine = FastBatchedHeteroGCN(mdef, params, g)
     assert g.n_pad > engine.DENSE_CAP  # must exercise the ELL tier
+    # the ELL tier is internally jitted (operands as arguments — closures
+    # would inline ~400 MB of HLO literals), so time EAGERLY: marginal
+    # between two batch sizes cancels the per-call dispatch + tunnel RTT
     masks = jnp.asarray(rng.random((b, g.n_pad)) > 0.3)
-    dt = _marginal_time(
-        lambda m: engine.query_outputs(
-            m, None, "graph_prediction", chunk_size=BIG_CHUNK
-        ),
-        masks,
-    )
-    return b / dt
+    half = masks[: b // 2]
+
+    def timed(m):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(engine.query_outputs(m, None, "graph_prediction"))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    np.asarray(engine.query_outputs(half, None, "graph_prediction"))
+    np.asarray(engine.query_outputs(masks, None, "graph_prediction"))
+    dt = max(timed(masks) - timed(half), 1e-9)
+    return (b - b // 2) / dt
 
 
 # ---------------------------------------------------------------------------

@@ -114,6 +114,8 @@ class FastBatchedHeteroGCN:
         # big graphs run the ELL tier; build it at init (outside any trace)
         # so its tables are device constants, not inline HLO literals
         self._ell = None
+        self._ell_jit = None
+        self._ell_plans = {}
         self._ell_eager = n > self.DENSE_CAP
         if self._ell_eager:
             self._ell_setup()
@@ -124,6 +126,61 @@ class FastBatchedHeteroGCN:
     #: forwards have no size limit — their adjacency slices are [R, Ps, N]
     #: host numpy
     DENSE_CAP = 4096
+
+    #: the ELL tier's fixed internal chunk width (masked rows per program
+    #: step).  Fixed so the per-(relation, width) SpMM plans can be warmed
+    #: at init; 32 puts the blocked-ELL kernel at 16 KB rows — its measured
+    #: sweet spot (docs/spmm_kernel.md)
+    _ELL_CHUNK = 32
+
+    def _ell_query_outputs(
+        self, masks: jax.Array, query, problem: str
+    ) -> jax.Array:
+        """Eager ELL-tier entry: internally jitted, operands as arguments.
+
+        Chunks the mask batch to ``_ELL_CHUNK`` rows (zero-padding the
+        tail — mask rows are independent) and runs one compiled
+        ``lax.map`` program whose big operands (:meth:`_ops`) cross the
+        jit boundary as runtime inputs rather than inline HLO literals.
+        """
+        is_graph = "graph" in problem
+        m_total = masks.shape[0]
+        c = min(self._ELL_CHUNK, m_total)
+        pad = (-m_total) % c
+        if pad:
+            masks = jnp.concatenate(
+                [masks, jnp.zeros((pad, masks.shape[1]), masks.dtype)]
+            )
+        nchunks = masks.shape[0] // c
+        if self._ell_jit is None:
+
+            def impl(masks, ops, query, is_graph, nchunks, c):
+                chunks = masks.reshape(nchunks, c, masks.shape[1])
+
+                def run(mc):
+                    h = self.batch_node_outputs_ell(mc, ops)
+                    if is_graph:
+                        out = self.model_def.head(self.params, h)
+                        nv = ops["nvalid"]
+                        return (out[..., 0] * nv).sum(-1) / jnp.maximum(
+                            nv.sum(), 1.0
+                        )
+                    return self.model_def.head(self.params, h[:, query, :])[
+                        :, 0
+                    ]
+
+                return jax.lax.map(run, chunks).reshape(-1)
+
+            self._ell_jit = jax.jit(
+                impl,
+                static_argnames=("query", "is_graph", "nchunks", "c"),
+            )
+        out = self._ell_jit(
+            masks, self._ops(),
+            query=None if is_graph else int(query),
+            is_graph=is_graph, nchunks=nchunks, c=c,
+        )
+        return out[:m_total]
 
     def _ell_setup(self):
         """Per-relation neighbour tables + receiver-sorted COO (the hetero
@@ -150,6 +207,22 @@ class FastBatchedHeteroGCN:
         keep_ns = snd != rcv  # gcn_norm drops data self-loops (ops/norm)
         tables, snds_s, rcvs_s, tables_s = [], [], [], []
         on_device = jnp.asarray if self._ell_eager else np.asarray
+        self._ell_plans: dict = {}
+        from ..ops.spmm_pallas import (
+            _pick_tr,
+            _static_weights,
+            build_compact_plan,
+        )
+        from ..ops.spmm_pallas import MIN_PALLAS_WIDTH
+
+        # distinct layers>=2 SpMM row widths at the tier's fixed chunk
+        widths = sorted(
+            {
+                self._ELL_CHUNK * conv.out_features
+                for layer in self.model_def.conv_layers[1:]
+                for conv in layer.values()
+            }
+        )
         for ri in range(len(self.model_def.relations)):
             sel = keep_ns & (et == ri)
             table = build_neighbor_table_edges(
@@ -165,6 +238,28 @@ class FastBatchedHeteroGCN:
             inv = np.zeros(graph.e_pad, np.int32)
             inv[eids[sel][pe]] = np.arange(len(pe), dtype=np.int32)
             eid_sorted = inv[np.asarray(table.eid)]
+            if self._ell_eager:
+                # warm the SpMM plans + static slot weights OUTSIDE any
+                # trace and keep them device-side: plan tables are
+                # multi-MB, and in-trace numpy falls back to inline HLO
+                # literals that blow the remote compiler's body limit
+                nbr_np = np.asarray(table.nbr)
+                valid_np = np.asarray(table.valid)
+                itemsize = jnp.dtype(self.dtype).itemsize
+                for w_width in widths:
+                    if w_width < MIN_PALLAS_WIDTH:
+                        continue
+                    tr = _pick_tr(table.k, w_width * itemsize)
+                    if tr <= 0 or f"{ri}_{tr}" in self._ell_plans:
+                        continue
+                    plan = build_compact_plan(nbr_np, valid_np, tr)
+                    self._ell_plans[f"{ri}_{tr}"] = {
+                        "src": jnp.asarray(plan.src),
+                        "dst": jnp.asarray(plan.dst),
+                        "cnt": jnp.asarray(plan.cnt),
+                        "w2": jnp.asarray(_static_weights(valid_np, tr)),
+                        "tr": tr,
+                    }
             table = table._replace(
                 nbr=on_device(table.nbr),
                 valid=on_device(table.valid),
@@ -175,7 +270,33 @@ class FastBatchedHeteroGCN:
         self._ell = (tables, snds_s, rcvs_s, tables_s)
         return self._ell
 
-    def batch_node_outputs_ell(self, masks: jax.Array) -> jax.Array:
+    def _ops(self) -> dict:
+        """The ELL tier's big-operand pytree.
+
+        Passed INTO the internally-jitted forward as a real argument so
+        every multi-MB array (tables, sorted COO, xw0, scope, SpMM plans)
+        crosses the jit boundary as a runtime input — closures, device or
+        numpy, inline as HLO literals and the hetero tier's ~400 MB of
+        them exceeds the remote compiler's request-body cap.
+        """
+        tables, snds_s, rcvs_s, _tables_s = self._ell_setup()
+        return {
+            "xw0": self.xw0,
+            "scope": self.scope,
+            "nbr": tuple(t.nbr for t in tables),
+            "valid": tuple(t.valid for t in tables),
+            "snds": tuple(snds_s),
+            "rcvs": tuple(rcvs_s),
+            "plans": {
+                k: {kk: v[kk] for kk in ("src", "dst", "cnt", "w2")}
+                for k, v in self._ell_plans.items()
+            },
+            "nvalid": self.graph.node_mask.astype(jnp.float32),
+        }
+
+    def batch_node_outputs_ell(
+        self, masks: jax.Array, ops: Optional[dict] = None
+    ) -> jax.Array:
         """All-node outputs for every mask row ([B, N, out]) — ELL tier.
 
         The big-graph unrestricted formulation: per-relation padded
@@ -187,27 +308,36 @@ class FastBatchedHeteroGCN:
         rows).  Replaces the reference's per-perturbation hetero Python
         loop (``model.py:196-249``) at its stated >=1e5-node KG scale
         (``README.md:50``).
+
+        ``ops``: the big-operand pytree (:meth:`_ops`) — the internally
+        jitted entry passes it as a traced argument; direct callers may
+        omit it.
         """
         from ..ops.ell import ell_aggregate_shared
         from ..ops.spmm import gather_sum_batched_separable
+        from ..ops.spmm_pallas import _pick_tr
 
-        tables, snds_s, rcvs_s, tables_s = self._ell_setup()
+        _tables, _snds, _rcvs, tables_s = self._ell_setup()
+        if ops is None:
+            ops = self._ops()
         m = masks.astype(jnp.float32)  # [B, N]
         b, n = m.shape
-        nrel = len(self.model_def.relations)
+        itemsize = jnp.dtype(self.dtype).itemsize
+        scope = ops["scope"]
+        xw0 = ops["xw0"]
 
         # per-relation masked degree / scale factors over the tables:
         # deg[r,b,v] = scope[r,v] + m[b,v] * sum_k valid[v,k] m[b,nbr[v,k]]
         def coeffs(ri):
-            t = tables[ri]
+            nbr, valid = ops["nbr"][ri], ops["valid"][ri]
 
             def one(mrow):
-                w = t.valid * mrow[t.nbr] * mrow[:, None]  # [N, K_r]
-                deg = self.scope[ri] + w.sum(axis=1)
+                w = valid * mrow[nbr] * mrow[:, None]  # [N, K_r]
+                deg = scope[ri] + w.sum(axis=1)
                 dis = jnp.where(
                     deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-30)), 0.0
                 )
-                coeff = w * dis[:, None] * dis[t.nbr]
+                coeff = w * dis[:, None] * dis[nbr]
                 return coeff, dis
 
             return jax.vmap(one)(m)  # [B, N, K_r], [B, N]
@@ -219,14 +349,12 @@ class FastBatchedHeteroGCN:
             p = self.params["conv"][0]["__".join(rel)]
             coeff, dis = coeffs(ri)
             dis_all.append(dis)
-            self_w = self.scope[ri] * dis * dis  # [B, N]
-            g0 = self.xw0[ri][tables[ri].nbr]  # [N, K_r, C1] shared gather
+            self_w = scope[ri] * dis * dis  # [B, N]
+            g0 = xw0[ri][ops["nbr"][ri]]  # [N, K_r, C1] shared gather
             agg = ell_aggregate_shared(coeff.astype(self.dtype), g0)
-            contrib = agg + self_w[:, :, None] * self.xw0[ri].astype(
-                jnp.float32
-            )
+            contrib = agg + self_w[:, :, None] * xw0[ri].astype(jnp.float32)
             if "bias" in p:
-                contrib = contrib + p["bias"] * self.scope[ri][None, :, None]
+                contrib = contrib + p["bias"] * scope[ri][None, :, None]
             h = contrib if h is None else h + contrib
         h = relu(h)
 
@@ -243,20 +371,33 @@ class FastBatchedHeteroGCN:
                     .astype(self.dtype)
                     .reshape(n, b * f_dim)
                 )
+                tr = _pick_tr(ops["nbr"][ri].shape[1], b * f_dim * itemsize)
+                warmed = ops["plans"].get(f"{ri}_{tr}")
+                plan = static_w = None
+                if warmed is not None:
+                    from ..ops.spmm_pallas import CompactPlan
+
+                    plan = CompactPlan(
+                        src=warmed["src"], dst=warmed["dst"],
+                        cnt=warmed["cnt"], tr=tr,
+                    )
+                    static_w = warmed["w2"]
                 out_t = gather_sum_batched_separable(
                     a_bn,
                     hw_t,
-                    snds_s[ri],
-                    rcvs_s[ri],
+                    ops["snds"][ri],
+                    ops["rcvs"][ri],
                     n,
                     b,
                     table=tables_s[ri],
+                    plan=plan,
+                    static_w=static_w,
                 )
                 agg = jnp.transpose(out_t.reshape(n, b, f_dim), (1, 0, 2))
-                self_w = self.scope[ri] * dis * dis
+                self_w = scope[ri] * dis * dis
                 contrib = agg + self_w[:, :, None] * hw
                 if "bias" in p:
-                    contrib = contrib + p["bias"] * self.scope[ri][None, :, None]
+                    contrib = contrib + p["bias"] * scope[ri][None, :, None]
                 out = contrib if out is None else out + contrib
             h = relu(out)
         return h
@@ -607,6 +748,13 @@ class FastBatchedHeteroGCN:
             # here — decline and let the adapter run the generic COO path
             return None
         ell = self.graph.n_pad > self.DENSE_CAP
+        if ell:
+            from jax._src import core as _jcore
+
+            if _jcore.trace_state_clean():
+                # eager caller: internally jitted entry with the big
+                # operand tree as runtime arguments (see _ell_query_outputs)
+                return self._ell_query_outputs(masks, query, problem)
         nvalid = self.graph.node_mask.astype(jnp.float32)
 
         def run_chunk(mchunk):

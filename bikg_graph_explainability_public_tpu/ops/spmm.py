@@ -130,6 +130,8 @@ def gather_sum_batched_separable(
     table=None,
     backend: Optional[str] = None,
     indices_are_sorted: bool = True,
+    plan=None,
+    static_w=None,
 ) -> jax.Array:                 # [N, B*F]
     """Batched aggregation with rank-1 separable weights.
 
@@ -143,6 +145,11 @@ def gather_sum_batched_separable(
     ``edge_weight[table.eid]`` slot re-index (a 3.2M-tiny-row gather, ~20 ms
     at the 100k/1M workload — ~35% of the weighted path) and the XLA path
     skips materialising the [E, B] weight matrix.
+
+    ``plan`` / ``static_w``: optional precomputed CompactPlan and static
+    slot weights — callers jitting big-graph programs pass them as traced
+    ARGUMENTS so multi-MB plan tables don't inline as HLO literals (the
+    remote compiler caps the request body).
     """
     f = feats_bc.shape[-1] // b
     a_t = jnp.transpose(a_bn).astype(feats_bc.dtype)  # [N, B]
@@ -150,7 +157,9 @@ def gather_sum_batched_separable(
         feats_bc.reshape(-1, b, f) * a_t[:, :, None]
     ).reshape(-1, b * f)
     if _use_pallas(backend, table, feats_bc.shape[-1]):
-        out = gather_sum_static(table, scaled, b=b)
+        out = gather_sum_static(
+            table, scaled, b=b, plan=plan, static_w=static_w
+        )
     else:
         loop = (senders != receivers).astype(scaled.dtype)
         msg = scaled[senders] * loop[:, None]

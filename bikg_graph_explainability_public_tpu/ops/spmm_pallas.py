@@ -1127,6 +1127,7 @@ def gather_sum_static(
     b: int,
     interpret: Optional[bool] = None,
     plan: Optional[CompactPlan] = None,
+    static_w: Optional[jax.Array] = None,
 ) -> jax.Array:
     """out[v] = sum of feats[src] over valid slots — STATIC validity weights.
 
@@ -1149,12 +1150,14 @@ def gather_sum_static(
     # NUMPY on purpose: built once per (table, tr), passed as a jit argument;
     # a traced slice cached here would leak across traces.  Layout: the MXU
     # mode's [NB, TR*K] block-compact static weights.
-    w2 = _cache_by_identity(
-        _STATIC_WSLOT_CACHE,
-        table.valid,
-        (plan.tr,),
-        lambda: _static_weights(np.asarray(table.valid), plan.tr),
-    )
+    w2 = static_w
+    if w2 is None:
+        w2 = _cache_by_identity(
+            _STATIC_WSLOT_CACHE,
+            table.valid,
+            (plan.tr,),
+            lambda: _static_weights(np.asarray(table.valid), plan.tr),
+        )
     # v6 fused masked-sum schedule: 375 GB/s vs v3's 276 at the 100k/1M
     # B=16 workload, and bitwise exact (v3's MXU block-diagonal reduce
     # carries single-pass-bf16 error) — benchmarks/exp_spmm_v5.py
