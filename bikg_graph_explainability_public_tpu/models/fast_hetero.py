@@ -158,16 +158,14 @@ class FastBatchedHeteroGCN:
                 chunks = masks.reshape(nchunks, c, masks.shape[1])
 
                 def run(mc):
-                    h = self.batch_node_outputs_ell(mc, ops)
+                    h = self.batch_node_outputs_ell(mc, ops)  # [N, B, C]
                     if is_graph:
                         out = self.model_def.head(self.params, h)
                         nv = ops["nvalid"]
-                        return (out[..., 0] * nv).sum(-1) / jnp.maximum(
-                            nv.sum(), 1.0
-                        )
-                    return self.model_def.head(self.params, h[:, query, :])[
-                        :, 0
-                    ]
+                        return (out[..., 0] * nv[:, None]).sum(
+                            0
+                        ) / jnp.maximum(nv.sum(), 1.0)
+                    return self.model_def.head(self.params, h[query])[:, 0]
 
                 return jax.lax.map(run, chunks).reshape(-1)
 
@@ -215,11 +213,12 @@ class FastBatchedHeteroGCN:
         )
         from ..ops.spmm_pallas import MIN_PALLAS_WIDTH
 
-        # distinct layers>=2 SpMM row widths at the tier's fixed chunk
+        # distinct SpMM row widths at the tier's fixed chunk (every layer
+        # aggregates through the separable kernel, layer 1 included)
         widths = sorted(
             {
                 self._ELL_CHUNK * conv.out_features
-                for layer in self.model_def.conv_layers[1:]
+                for layer in self.model_def.conv_layers
                 for conv in layer.values()
             }
         )
@@ -297,23 +296,25 @@ class FastBatchedHeteroGCN:
     def batch_node_outputs_ell(
         self, masks: jax.Array, ops: Optional[dict] = None
     ) -> jax.Array:
-        """All-node outputs for every mask row ([B, N, out]) — ELL tier.
+        """All-node outputs for every mask row — ELL tier, **[N, B, out]**.
 
-        The big-graph unrestricted formulation: per-relation padded
-        neighbour tables instead of dense [R, N, N] adjacencies.  Layer 1
-        gathers each relation's transformed features ONCE for the whole
-        batch ([N, K_r, C1]) and contracts against per-sample slot
-        coefficients on the MXU; layers >= 2 run the rank-1 separable
-        batched SpMM per relation (blocked-ELL Pallas kernel on TPU at wide
-        rows).  Replaces the reference's per-perturbation hetero Python
-        loop (``model.py:196-249``) at its stated >=1e5-node KG scale
+        The big-graph unrestricted formulation: every layer (layer 1
+        included) aggregates per relation through the rank-1 separable
+        batched SpMM (blocked-ELL Pallas kernel on TPU at wide rows);
+        per-relation masked degrees come from one receiver-sorted
+        segment-sum each (the earlier vmapped ``m[nbr]`` table gather
+        measured 105 ms of a 318 ms 32-row forward — 4-byte-element XLA
+        gathers run at ~10 GB/s).  Activations stay **N-major** end to end:
+        the SpMM layout is [N, B*C], and one [B, N, C] transpose per
+        relation-layer moved ~1.6 GB of HBM each way.  Replaces the
+        reference's per-perturbation hetero Python loop
+        (``model.py:196-249``) at its stated >=1e5-node KG scale
         (``README.md:50``).
 
         ``ops``: the big-operand pytree (:meth:`_ops`) — the internally
         jitted entry passes it as a traced argument; direct callers may
         omit it.
         """
-        from ..ops.ell import ell_aggregate_shared
         from ..ops.spmm import gather_sum_batched_separable
         from ..ops.spmm_pallas import _pick_tr
 
@@ -326,35 +327,55 @@ class FastBatchedHeteroGCN:
         scope = ops["scope"]
         xw0 = ops["xw0"]
 
-        # per-relation masked degree / scale factors over the tables:
-        # deg[r,b,v] = scope[r,v] + m[b,v] * sum_k valid[v,k] m[b,nbr[v,k]]
-        def coeffs(ri):
-            nbr, valid = ops["nbr"][ri], ops["valid"][ri]
+        m_t = jnp.transpose(m)  # [N, B]
+        dis_t_all, a_bn_all = [], []
+        for ri in range(len(ops["nbr"])):
+            cnt_t = jax.ops.segment_sum(
+                m_t[ops["snds"][ri]], ops["rcvs"][ri], num_segments=n,
+                indices_are_sorted=True,
+            )  # [N, B]
+            deg_t = scope[ri][:, None] + m_t * cnt_t
+            dis_t = jnp.where(
+                deg_t > 0, jax.lax.rsqrt(jnp.maximum(deg_t, 1e-30)), 0.0
+            )
+            dis_t_all.append(dis_t)
+            a_bn_all.append(jnp.transpose(m_t * dis_t))  # [B, N] (small)
 
-            def one(mrow):
-                w = valid * mrow[nbr] * mrow[:, None]  # [N, K_r]
-                deg = scope[ri] + w.sum(axis=1)
-                dis = jnp.where(
-                    deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-30)), 0.0
+        def rel_spmm(ri, feats_bc, f_dim):
+            from ..ops.spmm_pallas import CompactPlan
+
+            tr = _pick_tr(ops["nbr"][ri].shape[1], b * f_dim * itemsize)
+            warmed = ops["plans"].get(f"{ri}_{tr}")
+            plan = static_w = None
+            if warmed is not None:
+                plan = CompactPlan(
+                    src=warmed["src"], dst=warmed["dst"],
+                    cnt=warmed["cnt"], tr=tr,
                 )
-                coeff = w * dis[:, None] * dis[nbr]
-                return coeff, dis
+                static_w = warmed["w2"]
+            return gather_sum_batched_separable(
+                a_bn_all[ri], feats_bc, ops["snds"][ri], ops["rcvs"][ri],
+                n, b, table=tables_s[ri], plan=plan, static_w=static_w,
+            )
 
-            return jax.vmap(one)(m)  # [B, N, K_r], [B, N]
-
+        # layer 1: the batch-shared transformed features broadcast fuses
+        # into the wrapper's scale multiply — no [B, N, K] coefficients
         layer0 = self.model_def.conv_layers[0]
-        h = None
-        dis_all = []
+        h = None  # [N, B, C]
         for ri, (rel, conv) in enumerate(layer0.items()):
             p = self.params["conv"][0]["__".join(rel)]
-            coeff, dis = coeffs(ri)
-            dis_all.append(dis)
-            self_w = scope[ri] * dis * dis  # [B, N]
-            g0 = xw0[ri][ops["nbr"][ri]]  # [N, K_r, C1] shared gather
-            agg = ell_aggregate_shared(coeff.astype(self.dtype), g0)
-            contrib = agg + self_w[:, :, None] * xw0[ri].astype(jnp.float32)
+            dis_t = dis_t_all[ri]
+            self_w_t = scope[ri][:, None] * dis_t * dis_t  # [N, B]
+            c1 = xw0[ri].shape[-1]
+            feats_bc = jnp.broadcast_to(
+                xw0[ri][:, None, :], (n, b, c1)
+            ).reshape(n, b * c1)
+            agg = rel_spmm(ri, feats_bc, c1).reshape(n, b, c1)
+            contrib = agg + self_w_t[:, :, None] * xw0[ri][:, None, :].astype(
+                jnp.float32
+            )
             if "bias" in p:
-                contrib = contrib + p["bias"] * scope[ri][None, :, None]
+                contrib = contrib + p["bias"] * scope[ri][:, None, None]
             h = contrib if h is None else h + contrib
         h = relu(h)
 
@@ -362,42 +383,19 @@ class FastBatchedHeteroGCN:
             out = None
             for ri, (rel, conv) in enumerate(layer.items()):
                 p = self.params["conv"][li]["__".join(rel)]
-                hw = h[..., : conv.in_features] @ p["weight"].T  # [B, N, C]
-                dis = dis_all[ri]
-                a_bn = m * dis  # [B, N] rank-1 separable factors
+                hw = jnp.einsum(
+                    "nbc,dc->nbd", h[..., : conv.in_features], p["weight"],
+                    preferred_element_type=jnp.float32,
+                )  # [N, B, C]
+                dis_t = dis_t_all[ri]
                 f_dim = hw.shape[-1]
-                hw_t = (
-                    jnp.transpose(hw, (1, 0, 2))
-                    .astype(self.dtype)
-                    .reshape(n, b * f_dim)
-                )
-                tr = _pick_tr(ops["nbr"][ri].shape[1], b * f_dim * itemsize)
-                warmed = ops["plans"].get(f"{ri}_{tr}")
-                plan = static_w = None
-                if warmed is not None:
-                    from ..ops.spmm_pallas import CompactPlan
-
-                    plan = CompactPlan(
-                        src=warmed["src"], dst=warmed["dst"],
-                        cnt=warmed["cnt"], tr=tr,
-                    )
-                    static_w = warmed["w2"]
-                out_t = gather_sum_batched_separable(
-                    a_bn,
-                    hw_t,
-                    ops["snds"][ri],
-                    ops["rcvs"][ri],
-                    n,
-                    b,
-                    table=tables_s[ri],
-                    plan=plan,
-                    static_w=static_w,
-                )
-                agg = jnp.transpose(out_t.reshape(n, b, f_dim), (1, 0, 2))
-                self_w = scope[ri] * dis * dis
-                contrib = agg + self_w[:, :, None] * hw
+                agg = rel_spmm(
+                    ri, hw.astype(self.dtype).reshape(n, b * f_dim), f_dim
+                ).reshape(n, b, f_dim)
+                self_w_t = scope[ri][:, None] * dis_t * dis_t
+                contrib = agg + self_w_t[:, :, None] * hw
                 if "bias" in p:
-                    contrib = contrib + p["bias"] * scope[ri][None, :, None]
+                    contrib = contrib + p["bias"] * scope[ri][:, None, None]
                 out = contrib if out is None else out + contrib
             h = relu(out)
         return h
@@ -758,11 +756,15 @@ class FastBatchedHeteroGCN:
         nvalid = self.graph.node_mask.astype(jnp.float32)
 
         def run_chunk(mchunk):
-            h = (
-                self.batch_node_outputs_ell(mchunk)
-                if ell
-                else self.batch_node_outputs(mchunk)
-            )
+            if ell:
+                h = self.batch_node_outputs_ell(mchunk)  # [N, B, C]
+                if is_graph:
+                    out = self.model_def.head(self.params, h)
+                    return (out[..., 0] * nvalid[:, None]).sum(
+                        0
+                    ) / jnp.maximum(nvalid.sum(), 1.0)
+                return self.model_def.head(self.params, h[query])[:, 0]
+            h = self.batch_node_outputs(mchunk)
             if is_graph:
                 out = self.model_def.head(self.params, h)
                 return (out[..., 0] * nvalid).sum(-1) / jnp.maximum(nvalid.sum(), 1.0)

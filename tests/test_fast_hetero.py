@@ -287,9 +287,11 @@ class TestHeteroBeyondDenseCap:
         eng = FastBatchedHeteroGCN(mdef, params, g)
         rng = np.random.default_rng(0)
         masks = rng.random((8, g.n_pad)) < 0.7
-        a = np.asarray(eng.batch_node_outputs(masks))
-        b = np.asarray(eng.batch_node_outputs_ell(masks))
-        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+        a = np.asarray(eng.batch_node_outputs(masks))  # [B, N, C]
+        b = np.asarray(eng.batch_node_outputs_ell(masks))  # [N, B, C]
+        np.testing.assert_allclose(
+            a, b.transpose(1, 0, 2), rtol=1e-4, atol=1e-5
+        )
 
 class TestHeteroSAGE:
     """Per-relation SAGEConv through HeteroGNN: PyG to_hetero semantics —
