@@ -147,6 +147,53 @@ def _pathways_global_ids_cached(pathways, names_arr: np.ndarray, names_src):
     return val
 
 
+_QUERY_COMM_CACHE: "OrderedDict" = None
+
+
+def _community_query_cached(
+    graph, pathways, names_src, query, parents, ne, width, total,
+    pw_global, pw_names_list, cap,
+):
+    """Per-(graph, pathways, names, query) community statics, cached.
+
+    The subgraph pathway filter, the sampling :class:`~.masks.
+    CommunityLayout` and the score segment table are all draw-independent
+    and deterministic in the key, yet cost ~1.5 ms per query per call —
+    ~40%% of community-mode overhead in a serving loop.  Same strong-ref
+    FIFO identity pattern as :func:`_pathways_global_ids_cached`; the
+    parents hash guards against key collisions across hop depths.
+    """
+    global _QUERY_COMM_CACHE
+    from collections import OrderedDict
+
+    from .masks import build_community_layout
+    from .pathways import segment_table
+
+    if _QUERY_COMM_CACHE is None:
+        _QUERY_COMM_CACHE = OrderedDict()
+    parents = np.asarray(parents)
+    key = (
+        id(graph), id(pathways), id(names_src), int(query), int(ne),
+        int(width), int(total), hash(parents.tobytes()),
+    )
+    hit = _QUERY_COMM_CACHE.get(key)
+    if hit is not None and hit[0] is graph and hit[1] is pathways:
+        return hit[3]
+    sub_inds, sub_pw_names = _filter_pathways_to_subgraph(
+        pw_global, pw_names_list, parents.astype(np.int64), cap
+    )
+    entry = {
+        "sub_inds": sub_inds,
+        "sub_pw_names": sub_pw_names,
+        "layout": build_community_layout(sub_inds, ne, width, total),
+        "seg": segment_table(sub_inds),
+    }
+    _QUERY_COMM_CACHE[key] = (graph, pathways, names_src, entry)
+    while len(_QUERY_COMM_CACHE) > 512:
+        _QUERY_COMM_CACHE.popitem(last=False)
+    return entry
+
+
 def _pathways_as_global_ids(
     pathways, names_arr: np.ndarray
 ) -> List[np.ndarray]:
@@ -901,17 +948,27 @@ def _explain_many_stacked(
         mask_stacks = [[None] * qn for _ in range(times)]
         sub_pw_per_q = []
         bs_max = 0
+        # the sampler's row budget (MaskSampler abs()'s the config values)
+        total_cfg = abs(int(params_cfg["interpret_samples"])) * abs(
+            int(params_cfg["epochs"])
+        )
         raw: List[List[np.ndarray]] = [[None] * qn for _ in range(times)]
         for qi in range(qn):
             ne = int(n_elem_arr[qi])
             parents = (
                 st.parent_edges[qi] if is_edge else st.parent_nodes[qi]
             )
-            sub_inds, sub_pw_names = _filter_pathways_to_subgraph(
-                pw_global, pw_names_list, np.asarray(parents, np.int64), cap
+            entry = _community_query_cached(
+                graph, pathways,
+                names if names is not None else _NO_NAMES,
+                queries[qi], parents, ne, width, total_cfg,
+                pw_global, pw_names_list, cap,
             )
-            sub_pw_per_q.append((sub_inds, sub_pw_names))
-            sampler = MaskSampler(ne, width, params_cfg, sub_inds)
+            sub_pw_per_q.append(
+                (entry["sub_inds"], entry["sub_pw_names"], entry["seg"])
+            )
+            sampler = MaskSampler(ne, width, params_cfg, entry["sub_inds"])
+            sampler._layout = entry["layout"]
             for t in range(times):
                 mq, _tags, bs_q = sampler.sample(kd_all[t, qi])
                 raw[t][qi] = np.asarray(mq)
@@ -1073,11 +1130,27 @@ def _assemble_dfs(
             index=pd.Index(np.asarray(sub_names)[order], name="name"),
         )
         if sub_pw_per_q is not None:
-            from .pathways import Pathways
-
-            sub_inds, sub_pw_names = sub_pw_per_q[qi]
-            pw_df = Pathways(sub_inds, sub_pw_names).aggregate(
-                mean[qi, :ne], sub_inds
+            # inline per-community mean over the cached segment table —
+            # identical output contract to Pathways.aggregate (score
+            # column, name index, NaN-dropped, sorted descending) without
+            # rebuilding the object and the flattened table per call
+            sub_inds, sub_pw_names, (elements, seg, lengths) = (
+                sub_pw_per_q[qi]
+            )
+            vals = mean[qi, :ne].astype(np.float64)
+            sums = np.bincount(
+                seg, weights=vals[elements], minlength=len(lengths)
+            )
+            with np.errstate(invalid="ignore"):
+                scores = np.where(
+                    lengths > 0, sums / np.maximum(lengths, 1), np.nan
+                )
+            keep = ~np.isnan(scores)
+            sc = scores[keep]
+            nm = np.asarray(list(sub_pw_names), object)[keep]
+            o = np.argsort(-sc, kind="stable")
+            pw_df = pd.DataFrame(
+                {"score": sc[o]}, index=pd.Index(nm[o], name="name")
             )
             dfs.append((df, pw_df))
         else:
