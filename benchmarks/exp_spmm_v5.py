@@ -92,12 +92,12 @@ def main(n=100_000, e=1_000_000, f=128):
             flush=True,
         )
 
+    run(64, "v6")
+    run(64, "v6", ablate="noreduce")
+    run(128, "v6")
+    run(128, "v6", ablate="noreduce")
+    run(128, "v6", dt=jnp.bfloat16)
     run(64, "v3")
-    run(64, "v5")
-    run(64, "v5", ablate="noreduce")
-    run(128, "v5")
-    run(128, "v5", ablate="noreduce")
-    run(128, "v5", dt=jnp.bfloat16)
 
 
 if __name__ == "__main__":
