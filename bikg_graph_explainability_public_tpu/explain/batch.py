@@ -118,18 +118,40 @@ _PW_GLOBAL_CACHE: "OrderedDict" = None  # initialised below
 _NO_NAMES = object()  # sentinel key for names=None
 
 
+def _content_fp(obj) -> int:
+    """Cheap content fingerprint for the identity-keyed serving caches.
+
+    Identity alone cannot detect an *in-place* mutation of a still-live
+    pathways/names list (same object, changed content) — the advisor's
+    round-4 finding.  This hashes the actual content: flat sequences hash
+    every element; nested sequences (communities) hash per-community
+    tuples.  ~1 ms at 32x625-name communities — paid once per call, only
+    in community mode.
+    """
+    if obj is None or obj is _NO_NAMES:
+        return 0
+    if isinstance(obj, np.ndarray):
+        return hash(obj.tobytes())
+    if len(obj) and isinstance(obj[0], (list, tuple, np.ndarray)):
+        return hash(tuple(tuple(str(v) for v in p) for p in obj))
+    return hash(tuple(str(v) for v in obj))
+
+
 def _pathways_global_ids_cached(pathways, names_arr: np.ndarray, names_src):
-    """Identity-cached name->global-id community conversion.
+    """Identity+content-cached name->global-id community conversion.
 
     The conversion depends only on (pathways, element names) — both
     long-lived objects in a serving loop — yet costs ~15 ms per 32x625-name
     call.  Keyed by the *source* objects' ids; the cache holds strong
     references to those objects, so a live entry's ids can never be
     recycled by the allocator (lists are not weakref-able, ruling out the
-    finalizer-eviction pattern of ``ops/spmm_pallas.py``).  Bounded FIFO of
-    4 entries keeps the retention small.  ``names_src`` is the caller's
-    ``names`` argument (or :data:`_NO_NAMES` when element names default to
-    indices, in which case the padded width disambiguates).
+    finalizer-eviction pattern of ``ops/spmm_pallas.py``).  A content
+    fingerprint (:func:`_content_fp`) is validated on every hit so an
+    in-place mutation of a cached list is detected and recomputed rather
+    than served stale.  Bounded FIFO of 4 entries keeps retention small.
+    ``names_src`` is the caller's ``names`` argument (or :data:`_NO_NAMES`
+    when element names default to indices, in which case the padded width
+    disambiguates).
     """
     global _PW_GLOBAL_CACHE
     from collections import OrderedDict
@@ -137,11 +159,17 @@ def _pathways_global_ids_cached(pathways, names_arr: np.ndarray, names_src):
     if _PW_GLOBAL_CACHE is None:
         _PW_GLOBAL_CACHE = OrderedDict()
     key = (id(pathways), id(names_src), len(names_arr))
+    fp = (_content_fp(pathways), _content_fp(names_arr))
     hit = _PW_GLOBAL_CACHE.get(key)
-    if hit is not None and hit[0] is pathways and hit[1] is names_src:
+    if (
+        hit is not None
+        and hit[0] is pathways
+        and hit[1] is names_src
+        and hit[3] == fp
+    ):
         return hit[2]
     val = _pathways_as_global_ids(pathways, names_arr)
-    _PW_GLOBAL_CACHE[key] = (pathways, names_src, val)
+    _PW_GLOBAL_CACHE[key] = (pathways, names_src, val, fp)
     while len(_PW_GLOBAL_CACHE) > 4:
         _PW_GLOBAL_CACHE.popitem(last=False)
     return val
@@ -152,7 +180,7 @@ _QUERY_COMM_CACHE: "OrderedDict" = None
 
 def _community_query_cached(
     graph, pathways, names_src, query, parents, ne, width, total,
-    pw_global, pw_names_list, cap,
+    pw_global, pw_names_list, cap, content_fp=None,
 ):
     """Per-(graph, pathways, names, query) community statics, cached.
 
@@ -161,7 +189,10 @@ def _community_query_cached(
     and deterministic in the key, yet cost ~1.5 ms per query per call —
     ~40%% of community-mode overhead in a serving loop.  Same strong-ref
     FIFO identity pattern as :func:`_pathways_global_ids_cached`; the
-    parents hash guards against key collisions across hop depths.
+    parents hash guards against key collisions across hop depths, and
+    ``content_fp`` (the caller's :func:`_content_fp` of the pathway/name
+    content, computed once per call rather than once per query) is
+    validated on hit so in-place mutations are never served stale.
     """
     global _QUERY_COMM_CACHE
     from collections import OrderedDict
@@ -177,7 +208,12 @@ def _community_query_cached(
         int(width), int(total), hash(parents.tobytes()),
     )
     hit = _QUERY_COMM_CACHE.get(key)
-    if hit is not None and hit[0] is graph and hit[1] is pathways:
+    if (
+        hit is not None
+        and hit[0] is graph
+        and hit[1] is pathways
+        and (content_fp is None or hit[4] == content_fp)
+    ):
         return hit[3]
     sub_inds, sub_pw_names = _filter_pathways_to_subgraph(
         pw_global, pw_names_list, parents.astype(np.int64), cap
@@ -188,7 +224,7 @@ def _community_query_cached(
         "layout": build_community_layout(sub_inds, ne, width, total),
         "seg": segment_table(sub_inds),
     }
-    _QUERY_COMM_CACHE[key] = (graph, pathways, names_src, entry)
+    _QUERY_COMM_CACHE[key] = (graph, pathways, names_src, entry, content_fp)
     while len(_QUERY_COMM_CACHE) > 512:
         _QUERY_COMM_CACHE.popitem(last=False)
     return entry
@@ -224,6 +260,35 @@ def _pathways_as_global_ids(
         ok = sorted_names[pos] == arr
         out.append(np.unique(order[pos[ok]]).astype(np.int64))
     return out
+
+
+_SUBGRAPH_CACHE: "OrderedDict" = None
+
+
+def _subgraph_cached(graph: Graph, seed: int, n_hops: int):
+    """Identity-cached k-hop subgraph extraction for serving loops.
+
+    A query's computational subgraph is a pure function of (graph, seed
+    node, hop count) and the graph is long-lived in a serving process, yet
+    re-extracting cost ~1.3 ms/query/call (~25%% of the 16-query Shapley
+    call).  Strong-ref FIFO like the other serving caches; ``Graph`` pytrees
+    are treated as immutable throughout the package (every transform builds
+    a new ``Graph``), so identity keying is sound.
+    """
+    global _SUBGRAPH_CACHE
+    from collections import OrderedDict
+
+    if _SUBGRAPH_CACHE is None:
+        _SUBGRAPH_CACHE = OrderedDict()
+    key = (id(graph), int(seed), int(n_hops))
+    hit = _SUBGRAPH_CACHE.get(key)
+    if hit is not None and hit[0] is graph:
+        return hit[1]
+    sub = extract_khop_subgraph(graph, int(seed), n_hops, host_only=True)
+    _SUBGRAPH_CACHE[key] = (graph, sub)
+    while len(_SUBGRAPH_CACHE) > 4096:
+        _SUBGRAPH_CACHE.popitem(last=False)
+    return sub
 
 
 # ---------------------------------------------------------------------------
@@ -760,10 +825,7 @@ def explain_many(
         )
 
     seeds = _seed_nodes(graph, queries, problem)
-    subs = [
-        extract_khop_subgraph(graph, s, n_hops, host_only=True)
-        for s in seeds
-    ]
+    subs = [_subgraph_cached(graph, s, n_hops) for s in seeds]
     buckets: dict = {}
     for i, s in enumerate(subs):
         key = (
@@ -896,7 +958,174 @@ def _explain_many_stacked(
             for layer in model_def.conv_layers
             for c in layer.values()
         )
+    kind = "dense" if dense else ("hetero_dense" if hetero_dense else "coo")
     n_hops = model_def.num_hops + 1
+
+    epochs = int(params_cfg["epochs"])
+    n_masks_cfg = int(params_cfg["interpret_samples"]) * epochs
+    seed = int(params_cfg.get("seed", 0))
+    lr = float(abs(params_cfg.get("lr", 0.01)))
+    l1 = float(params_cfg.get("l1_lambda", 1e-4))
+    wd = float(params_cfg.get("weight_decay", 1e-2))
+
+    # ---- launch-plan cache -------------------------------------------------
+    # Everything below except the actual dispatch is a pure function of
+    # (graph, model_def, queries, config, communities, mesh): subgraph
+    # extraction, stacking, operand upload, key folding and community mask
+    # sampling.  A serving loop re-explaining a hot query set pays only the
+    # dispatch + fetch.  Identity-keyed with strong refs (same pattern as
+    # the other serving caches) plus a content fingerprint for the mutable
+    # list inputs.
+    fp = (
+        _content_fp(pathways) if pathways is not None else 0,
+        _content_fp(names) if names is not None else 0,
+    )
+    plan_key = (
+        id(graph), id(model_def), tuple(int(q) for q in queries), problem,
+        times, seed, n_masks_cfg, epochs, lr, l1, wd, int(chunk),
+        0 if pathways is None else id(pathways),
+        0 if pathway_names is None else id(pathway_names),
+        0 if names is None else id(names),
+        0 if mesh is None else id(mesh),
+        None if orig_pos is None else tuple(int(p) for p in orig_pos),
+    )
+    entry = _plan_cache_get(plan_key, graph, model_def, pathways, names, fp)
+    if entry is None:
+        entry = _build_launch_plan(
+            model, graph, queries, params_cfg, names, times, chunk, mesh,
+            pathways, pathway_names, problem, subs, orig_pos, pw_global,
+            kind, n_hops, fp,
+        )
+        _plan_cache_put(plan_key, graph, model_def, pathways, names, fp, entry)
+
+    runner = _vmapped_runner(
+        kind, model_def, problem, entry["n_masks"], epochs, lr, l1, wd,
+        entry["chunk"], entry["m_dev"] is not None,
+    )
+    weights_reps = []
+    for t in range(times):
+        if entry["m_dev"] is not None:
+            w = runner(
+                model.params, entry["dev"], entry["keys"][t],
+                entry["m_dev"][t],
+            )
+        else:
+            w = runner(model.params, entry["dev"], entry["keys"][t])
+        weights_reps.append(w)  # device arrays — fetched in build()
+
+    st, qn, n_elem_arr = entry["st"], entry["qn"], entry["n_elem_arr"]
+
+    def build(fetched):
+        return _assemble_dfs(
+            fetched, qn, times, n_elem_arr, is_edge, st,
+            entry["all_names_arr"], entry["sub_pw_per_q"],
+        )
+
+    if defer:
+        # async bucket pipelining: every dispatch above is already in
+        # flight; the caller launches all buckets before fetching any (one
+        # batched device_get), so device compute and per-bucket tunnel RTTs
+        # overlap instead of chaining (dispatch -> block -> fetch) per bucket
+        return weights_reps, build
+    return build(jax.device_get(weights_reps))
+
+
+_PLAN_CACHE: "OrderedDict" = None
+#: plan entries hold device-resident operands (the Q stacked subgraphs plus
+#: community mask stacks); 8 entries bounds HBM retention to a few hundred MB
+#: at typical serving shapes while covering several hot query sets
+_PLAN_CACHE_MAX = 8
+
+
+def _plan_cache_get(plan_key, graph, model_def, pathways, names, fp):
+    """Launch-plan lookup: identity match on every object in the key plus
+    the content fingerprint of the mutable list inputs."""
+    global _PLAN_CACHE
+    from collections import OrderedDict
+
+    if _PLAN_CACHE is None:
+        _PLAN_CACHE = OrderedDict()
+    hit = _PLAN_CACHE.get(plan_key)
+    if (
+        hit is not None
+        and hit[0] is graph
+        and hit[1] is model_def
+        and (pathways is None or hit[2] is pathways)
+        and (names is None or hit[3] is names)
+        and hit[4] == fp
+    ):
+        return hit[5]
+    return None
+
+
+def _plan_cache_put(plan_key, graph, model_def, pathways, names, fp, entry):
+    """Insert a launch plan; FIFO-bounded (see :data:`_PLAN_CACHE_MAX`)."""
+    global _PLAN_CACHE
+    _PLAN_CACHE[plan_key] = (graph, model_def, pathways, names, fp, entry)
+    while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+        _PLAN_CACHE.popitem(last=False)
+
+
+@lru_cache(maxsize=64)
+def _vmapped_runner(kind: str, model_def, problem: str, n_masks: int,
+                    epochs: int, lr: float, l1: float, wd: float,
+                    chunk: int, has_masks: bool):
+    """One jitted, vmapped per-query program per static configuration.
+
+    Rebuilding ``jax.vmap(run_one)`` inside every call re-traced the whole
+    Q-query program each time (~6 ms/call at Q=16 on the serving bench);
+    memoising the jitted callable turns repeat dispatches into C++
+    fast-path cache hits.
+    """
+    if kind == "dense":
+        def run_one(params, d, key, m):
+            return _explain_one_query(
+                model_def, params, d["x"], d["adj"], d["q"], d["nv"],
+                key, n_masks=n_masks, epochs=epochs, lr=lr, l1=l1, wd=wd,
+                chunk=chunk, masks=m, bs_real=d["bs"],
+            )
+    elif kind == "hetero_dense":
+        def run_one(params, d, key, m):
+            return _explain_one_query_hetero(
+                model_def, params, d["x"], d["adj_r"], d["scope"],
+                d["q"], d["nv"], key, n_masks=n_masks, epochs=epochs, lr=lr,
+                l1=l1, wd=wd, chunk=chunk, masks=m, bs_real=d["bs"],
+            )
+    else:
+        def run_one(params, d, key, m):
+            return _explain_one_query_coo(
+                model_def, params, problem, d["x"], d["snd"], d["rcv"],
+                d["ev"], d["nt"], d["et"], d["q"], d["nv"], d["ne"],
+                key, n_masks=n_masks, epochs=epochs, lr=lr, l1=l1, wd=wd,
+                chunk=chunk, masks=m, bs_real=d["bs"],
+            )
+
+    if has_masks:
+        return jax.jit(jax.vmap(run_one, in_axes=(None, 0, 0, 0)))
+    return jax.jit(
+        jax.vmap(lambda p, d, k: run_one(p, d, k, None), in_axes=(None, 0, 0))
+    )
+
+
+def _build_launch_plan(
+    model, graph, queries, params_cfg, names, times, chunk, mesh,
+    pathways, pathway_names, problem, subs, orig_pos, pw_global,
+    kind, n_hops, fp,
+):
+    """Build the device-ready launch plan for one stacked query batch —
+    every pure-function-of-inputs stage of ``_explain_many_stacked``."""
+    model_def = model.model_def
+    is_edge = "edge" in problem
+    is_graph = "graph" in problem
+    dense = kind == "dense"
+    hetero_dense = kind == "hetero_dense"
+    typed = isinstance(model_def, HeteroGNN)
+
+    if subs is None and not is_graph:
+        subs = [
+            _subgraph_cached(graph, s, n_hops)
+            for s in _seed_nodes(graph, queries, problem)
+        ]
 
     st = _Stack(graph, _seed_nodes(graph, queries, problem), n_hops,
                 need_edges=not dense and not hetero_dense, typed=typed,
@@ -909,9 +1138,6 @@ def _explain_many_stacked(
     n_masks = int(params_cfg["interpret_samples"]) * int(params_cfg["epochs"])
     epochs = int(params_cfg["epochs"])
     seed = int(params_cfg.get("seed", 0))
-    lr = float(abs(params_cfg.get("lr", 0.01)))
-    l1 = float(params_cfg.get("l1_lambda", 1e-4))
-    wd = float(params_cfg.get("weight_decay", 1e-2))
 
     n_elem_arr = st.evalid_count if is_edge else st.nvalid
     width = st.e_pad if is_edge else st.n_pad
@@ -958,17 +1184,17 @@ def _explain_many_stacked(
             parents = (
                 st.parent_edges[qi] if is_edge else st.parent_nodes[qi]
             )
-            entry = _community_query_cached(
+            centry = _community_query_cached(
                 graph, pathways,
                 names if names is not None else _NO_NAMES,
                 queries[qi], parents, ne, width, total_cfg,
-                pw_global, pw_names_list, cap,
+                pw_global, pw_names_list, cap, content_fp=fp,
             )
             sub_pw_per_q.append(
-                (entry["sub_inds"], entry["sub_pw_names"], entry["seg"])
+                (centry["sub_inds"], centry["sub_pw_names"], centry["seg"])
             )
-            sampler = MaskSampler(ne, width, params_cfg, entry["sub_inds"])
-            sampler._layout = entry["layout"]
+            sampler = MaskSampler(ne, width, params_cfg, centry["sub_inds"])
+            sampler._layout = centry["layout"]
             for t in range(times):
                 mq, _tags, bs_q = sampler.sample(kd_all[t, qi])
                 raw[t][qi] = np.asarray(mq)
@@ -1031,38 +1257,12 @@ def _explain_many_stacked(
             base["nt"] = np.zeros((qn, st.n_pad), np.int32)
     q_run, dev = maybe_shard(base)
 
-    if dense:
-        def run_one(d, key, m):
-            return _explain_one_query(
-                model_def, model.params, d["x"], d["adj"], d["q"], d["nv"],
-                key, n_masks=n_masks, epochs=epochs, lr=lr, l1=l1, wd=wd,
-                chunk=chunk, masks=m, bs_real=d["bs"],
-            )
-    elif hetero_dense:
-        def run_one(d, key, m):
-            return _explain_one_query_hetero(
-                model_def, model.params, d["x"], d["adj_r"], d["scope"],
-                d["q"], d["nv"], key, n_masks=n_masks, epochs=epochs, lr=lr,
-                l1=l1, wd=wd, chunk=chunk, masks=m, bs_real=d["bs"],
-            )
-    else:
-        def run_one(d, key, m):
-            return _explain_one_query_coo(
-                model_def, model.params, problem, d["x"], d["snd"], d["rcv"],
-                d["ev"], d["nt"], d["et"], d["q"], d["nv"], d["ne"],
-                key, n_masks=n_masks, epochs=epochs, lr=lr, l1=l1, wd=wd,
-                chunk=chunk, masks=m, bs_real=d["bs"],
-            )
-
-    in_axes = ({k: 0 for k in dev}, 0, None if mask_stacks is None else 0)
-    run_q = jax.vmap(run_one, in_axes=in_axes)
-
     kd_run = kd_all
     if q_run != qn:
         kd_run = np.concatenate(
             [kd_all, np.repeat(kd_all[:, -1:], q_run - qn, axis=1)], axis=1
         )
-    weights_reps = []
+    keys_t, m_dev_t = [], []
     for t in range(times):
         # raw uint32 key rows, host-built (zero extra dispatches; legacy raw
         # keys are accepted by fold_in inside the jitted program)
@@ -1087,22 +1287,21 @@ def _explain_many_stacked(
                 m_dev = jax.device_put(
                     m_dev, NamedSharding(mesh, P(axis, None, None))
                 )
-        w = run_q(dev, keys, m_dev)
-        weights_reps.append(w)  # device arrays — fetched in finish()
+        keys_t.append(keys)
+        m_dev_t.append(m_dev)
 
-    def build(fetched):
-        return _assemble_dfs(
-            fetched, qn, times, n_elem_arr, is_edge, st, all_names_arr,
-            sub_pw_per_q,
-        )
-
-    if defer:
-        # async bucket pipelining: every dispatch above is already in
-        # flight; the caller launches all buckets before fetching any (one
-        # batched device_get), so device compute and per-bucket tunnel RTTs
-        # overlap instead of chaining (dispatch -> block -> fetch) per bucket
-        return weights_reps, build
-    return build(jax.device_get(weights_reps))
+    return {
+        "st": st,
+        "qn": qn,
+        "n_elem_arr": n_elem_arr,
+        "all_names_arr": all_names_arr,
+        "sub_pw_per_q": sub_pw_per_q,
+        "n_masks": n_masks,
+        "chunk": chunk,
+        "dev": dev,
+        "keys": keys_t,
+        "m_dev": m_dev_t if mask_stacks is not None else None,
+    }
 
 
 def _assemble_dfs(
