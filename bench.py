@@ -157,11 +157,15 @@ def get_baselines():
     return d
 
 
-def _best_of(fn, reps=3):
+def _best_of(fn, reps=8):
     """Best wall time of ``reps`` calls.  The end-to-end eps benches time a
     handful of dispatches over the remote-TPU tunnel, whose RTT spikes by
     2x under transient congestion — a single timed call measured the tunnel's
-    mood, not the framework (observed 109 vs 225 eps minutes apart)."""
+    mood, not the framework (observed 109 vs 225 eps minutes apart; the
+    round-4 "serving regression" was exactly this, see
+    docs/serving_variance.md).  Each call is now ~40 ms (launch-plan cache),
+    so 8 reps cost little and ride out both congestion spikes and the
+    first-seconds tunnel warm-up drift observed after compile."""
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()

@@ -118,6 +118,16 @@ _PW_GLOBAL_CACHE: "OrderedDict" = None  # initialised below
 _NO_NAMES = object()  # sentinel key for names=None
 
 
+def _seq_fp(seq) -> int:
+    """Hash one flat sequence's content (ndarray bytes or element tuple)."""
+    if isinstance(seq, np.ndarray):
+        return hash(seq.tobytes())
+    try:
+        return hash(tuple(seq))
+    except TypeError:  # unhashable elements (e.g. nested lists)
+        return hash(tuple(str(v) for v in seq))
+
+
 def _content_fp(obj) -> int:
     """Cheap content fingerprint for the identity-keyed serving caches.
 
@@ -125,16 +135,17 @@ def _content_fp(obj) -> int:
     pathways/names list (same object, changed content) — the advisor's
     round-4 finding.  This hashes the actual content: flat sequences hash
     every element; nested sequences (communities) hash per-community
-    tuples.  ~1 ms at 32x625-name communities — paid once per call, only
-    in community mode.
+    content.  Hashing tuples of existing str/int objects directly (no
+    per-element ``str()`` conversion) keeps this ~0.5 ms at 32x625-name
+    communities — paid once per call, only in community mode.
     """
     if obj is None or obj is _NO_NAMES:
         return 0
     if isinstance(obj, np.ndarray):
         return hash(obj.tobytes())
     if len(obj) and isinstance(obj[0], (list, tuple, np.ndarray)):
-        return hash(tuple(tuple(str(v) for v in p) for p in obj))
-    return hash(tuple(str(v) for v in obj))
+        return hash(tuple(_seq_fp(p) for p in obj))
+    return _seq_fp(obj)
 
 
 def _pathways_global_ids_cached(pathways, names_arr: np.ndarray, names_src):
@@ -859,23 +870,15 @@ def explain_many(
     # two-phase: LAUNCH every bucket's device program (async dispatch),
     # THEN fetch — bucket compute and tunnel round trips overlap instead of
     # chaining (dispatch -> block -> fetch) per bucket.  Measured 4-bucket
-    # hetero workload on a remote v5e: 54 -> ~90 explanations/sec
-    # the name -> global-id community conversion is bucket-invariant; hoist
-    # it so Nbuckets buckets don't each re-run the searchsorted pass
-    # (measured 28 ms of a 146 ms 16-query community call at 3 buckets)
-    pw_global = None
-    if pathways is not None:
-        is_edge = "edge" in problem
-        all_names_arr = (
-            np.array(names, dtype=str)
-            if names is not None
-            else np.arange(
-                graph.e_pad if is_edge else graph.n_pad
-            ).astype(str)
-        )
-        pw_global = _pathways_global_ids_cached(
-            pathways, all_names_arr, names if names is not None else _NO_NAMES
-        )
+    # hetero workload on a remote v5e: 54 -> ~90 explanations/sec.
+    # The name -> global-id community conversion is bucket-invariant; the
+    # identity cache inside _pathways_global_ids_cached dedups it across
+    # buckets, and the content fingerprint is computed once here (~0.5 ms)
+    # rather than once per bucket.
+    fp = (
+        _content_fp(pathways) if pathways is not None else 0,
+        _content_fp(names) if names is not None else 0,
+    )
 
     results: list = [None] * len(queries)
     launches = []
@@ -886,7 +889,7 @@ def explain_many(
             subs=[subs[i] for i in idxs],
             orig_pos=np.asarray(idxs, np.int32),
             defer=True,
-            pw_global=pw_global,
+            fp=fp,
         )
         launches.append((idxs, ws, build))
     # ONE batched fetch for every bucket and repeat (a per-bucket
@@ -914,6 +917,7 @@ def _explain_many_stacked(
     orig_pos: Optional[np.ndarray] = None,
     defer: bool = False,
     pw_global: Optional[List[np.ndarray]] = None,
+    fp: Optional[tuple] = None,
 ):
     """Explain Q queries with one vmapped program per repeat.
 
@@ -976,10 +980,11 @@ def _explain_many_stacked(
     # dispatch + fetch.  Identity-keyed with strong refs (same pattern as
     # the other serving caches) plus a content fingerprint for the mutable
     # list inputs.
-    fp = (
-        _content_fp(pathways) if pathways is not None else 0,
-        _content_fp(names) if names is not None else 0,
-    )
+    if fp is None:
+        fp = (
+            _content_fp(pathways) if pathways is not None else 0,
+            _content_fp(names) if names is not None else 0,
+        )
     plan_key = (
         id(graph), id(model_def), tuple(int(q) for q in queries), problem,
         times, seed, n_masks_cfg, epochs, lr, l1, wd, int(chunk),
@@ -1304,6 +1309,12 @@ def _build_launch_plan(
     }
 
 
+#: shared column Index objects — pandas re-validates list columns on every
+#: DataFrame construction (~0.5 ms x 2 frames x Q queries per serving call)
+_CV_COLS = pd.Index(["config_value_mean", "config_value_std"])
+_PW_COLS = pd.Index(["score"])
+
+
 def _assemble_dfs(
     weights_reps, qn, times, n_elem_arr, is_edge, st, all_names_arr,
     sub_pw_per_q,
@@ -1322,11 +1333,10 @@ def _assemble_dfs(
             sub_names = all_names_arr[st.parent_nodes[qi]]
         order = np.argsort(-mean[qi, :ne], kind="stable")
         df = pd.DataFrame(
-            {
-                "config_value_mean": mean[qi, :ne][order],
-                "config_value_std": std[qi, :ne][order],
-            },
+            np.column_stack([mean[qi, :ne][order], std[qi, :ne][order]]),
+            columns=_CV_COLS,
             index=pd.Index(np.asarray(sub_names)[order], name="name"),
+            copy=False,
         )
         if sub_pw_per_q is not None:
             # inline per-community mean over the cached segment table —
@@ -1349,7 +1359,8 @@ def _assemble_dfs(
             nm = np.asarray(list(sub_pw_names), object)[keep]
             o = np.argsort(-sc, kind="stable")
             pw_df = pd.DataFrame(
-                {"score": sc[o]}, index=pd.Index(nm[o], name="name")
+                sc[o][:, None], columns=_PW_COLS,
+                index=pd.Index(nm[o], name="name"), copy=False,
             )
             dfs.append((df, pw_df))
         else:
