@@ -140,13 +140,13 @@ def hetero_sage_params(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
 
 
 def _fc_params(sd: Dict[str, np.ndarray]):
+    """FC-head params at any ModuleList stride (the reference interleaves
+    activations, so Linear indices stride by 2 — but any stride works)."""
     fc_params = []
-    j = 0
-    while f"fc.{2 * j}.weight" in sd:
+    for j in _conv_indices(sd, "fc."):
         fc_params.append(
-            {"weight": _j(sd[f"fc.{2 * j}.weight"]), "bias": _j(sd[f"fc.{2 * j}.bias"])}
+            {"weight": _j(sd[f"fc.{j}.weight"]), "bias": _j(sd[f"fc.{j}.bias"])}
         )
-        j += 1
     return fc_params
 
 
@@ -396,3 +396,280 @@ def hetero_relations_from_state_dict(sd: Dict[str, np.ndarray]):
     prefix = "conv.0.convs."
     rels = sorted({k[len(prefix) :].split(".")[0] for k in sd if k.startswith(prefix)})
     return [tuple(r.split("__")) for r in rels]
+
+
+# ---------------------------------------------------------------------------
+# generic walker: any supported state-dict layout -> (model_def, params)
+# ---------------------------------------------------------------------------
+
+
+def _conv_indices(sd: Dict[str, np.ndarray], prefix: str = "conv."):
+    """Sorted module indices under ``prefix`` that own parameters (the
+    reference models interleave activations in the ModuleList, so indices
+    stride by 2 — but any stride is accepted here)."""
+    out = set()
+    for k in sd:
+        if k.startswith(prefix):
+            first = k[len(prefix):].split(".")[0]
+            if first.isdigit():
+                out.add(int(first))
+    return sorted(out)
+
+
+def _layer_family(sd: Dict[str, np.ndarray], pre: str) -> str:
+    """Sniff one conv layer's PyG family from its parameter key pattern."""
+    if pre + "lin.weight" in sd:
+        return "gcn"
+    if pre + "att" in sd and pre + "lin_l.weight" in sd:
+        return "gatv2"
+    if pre + "att_src" in sd or pre + "lin_src.weight" in sd:
+        return "gat"
+    if pre + "lin_rel.weight" in sd:
+        return "graphconv"
+    if pre + "nn.0.weight" in sd:
+        return "gin"
+    if pre + "weight" in sd and pre + "root" in sd:
+        return "rgcn"
+    if pre + "lin_l.weight" in sd and pre + "lin_r.weight" in sd:
+        return "sage"
+    known = sorted(k for k in sd if k.startswith(pre))[:6]
+    raise ValueError(
+        f"unrecognised conv layer layout at {pre!r}: keys {known} match no "
+        "supported PyG family (GCN/GAT/GATv2/SAGE/GraphConv/GIN/RGCN)"
+    )
+
+
+def _homo_layer(sd, pre: str, family: str, prev: int):
+    """(conv module, conv params, out width) for one homogeneous layer."""
+    from .layers import (
+        GATConv, GATv2Conv, GCNConv, GINConv, GraphConv, SAGEConv,
+    )
+
+    if family == "gcn":
+        w = sd[pre + "lin.weight"]
+        p = {"weight": _j(w)}
+        if pre + "bias" in sd:
+            p["bias"] = _j(sd[pre + "bias"])
+        return GCNConv(prev, w.shape[0]), p, w.shape[0]
+    if family == "gat":
+        _, h, c = sd[pre + "att_src"].shape
+        w_key = pre + ("lin_src.weight" if pre + "lin_src.weight" in sd
+                       else "lin.weight")
+        p = {
+            "lin_src": {"weight": _j(sd[w_key])},
+            "lin_dst": {"weight": _j(sd.get(pre + "lin_dst.weight", sd[w_key]))},
+            "att_src": _j(sd[pre + "att_src"]),
+            "att_dst": _j(sd[pre + "att_dst"]),
+        }
+        if pre + "bias" in sd:
+            p["bias"] = _j(sd[pre + "bias"])
+        concat = True
+        if pre + "bias" in sd and h > 1:
+            concat = sd[pre + "bias"].shape[0] == h * c
+        conv = GATConv((prev, prev), c, heads=h, concat=concat)
+        return conv, p, h * c if concat else c
+    if family == "gatv2":
+        _, h, c = sd[pre + "att"].shape
+        share = pre + "lin_r.weight" not in sd
+        lin_l = {"weight": _j(sd[pre + "lin_l.weight"])}
+        if pre + "lin_l.bias" in sd:
+            lin_l["bias"] = _j(sd[pre + "lin_l.bias"])
+        lin_r = {"weight": _j(sd.get(pre + "lin_r.weight", sd[pre + "lin_l.weight"]))}
+        rb = sd.get(pre + "lin_r.bias", sd.get(pre + "lin_l.bias"))
+        if rb is not None:
+            lin_r["bias"] = _j(rb)
+        p = {"lin_l": lin_l, "lin_r": lin_r, "att": _j(sd[pre + "att"])}
+        if pre + "bias" in sd:
+            p["bias"] = _j(sd[pre + "bias"])
+        concat = True
+        if pre + "bias" in sd and h > 1:
+            concat = sd[pre + "bias"].shape[0] == h * c
+        conv = GATv2Conv((prev, prev), c, heads=h, concat=concat,
+                         share_weights=share)
+        return conv, p, h * c if concat else c
+    if family == "sage":
+        w = sd[pre + "lin_l.weight"]
+        p = {
+            "lin_l": {"weight": _j(w)},
+            "lin_r": {"weight": _j(sd[pre + "lin_r.weight"])},
+        }
+        if pre + "lin_l.bias" in sd:
+            p["lin_l"]["bias"] = _j(sd[pre + "lin_l.bias"])
+        return SAGEConv(prev, w.shape[0]), p, w.shape[0]
+    if family == "graphconv":
+        w = sd[pre + "lin_rel.weight"]
+        p = {
+            "lin_rel": {"weight": _j(w)},
+            "lin_root": {"weight": _j(sd[pre + "lin_root.weight"])},
+        }
+        if pre + "lin_rel.bias" in sd:
+            p["lin_rel"]["bias"] = _j(sd[pre + "lin_rel.bias"])
+        return GraphConv(prev, w.shape[0]), p, w.shape[0]
+    if family == "gin":
+        mlp, widths = [], []
+        for j in _conv_indices(sd, pre + "nn."):
+            mlp.append({
+                "weight": _j(sd[f"{pre}nn.{j}.weight"]),
+                "bias": _j(sd[f"{pre}nn.{j}.bias"]),
+            })
+            widths.append(sd[f"{pre}nn.{j}.weight"].shape[0])
+        p = {"nn": mlp, "eps": _j(sd.get(pre + "eps", np.zeros(())))}
+        conv = GINConv(prev, widths[-1], mlp_channels=tuple(widths[:-1]))
+        return conv, p, widths[-1]
+    raise ValueError(f"unsupported homogeneous family {family!r}")
+
+
+def import_any(sd: Dict[str, np.ndarray]):
+    """Generic torch state-dict walker: sniff the architecture and return a
+    ready ``(model_def, params)`` pair.
+
+    The reference explains *any* PyG module via arity dispatch
+    (``/root/reference/src/pathway_explanations/model.py:62-116``); this is
+    the framework's equivalent accept-anything surface for the checkpoint
+    formats the reference documents (``README.md:155-156``).  Per-layer conv
+    families are sniffed from parameter key patterns (``lin.weight`` vs
+    ``lin_l/lin_r`` vs ``att``/``att_src`` vs ``lin_rel/lin_root`` vs
+    ``nn.{j}`` vs ``weight``+``root``) and composed — mixed stacks
+    (e.g. GCN then SAGE) build a :class:`..gnn.ConvStackNodeModel`;
+    all-GCN stacks build :class:`..gnn.GCNNodeModel` (the dense fast-path
+    engine); ``.convs.<src__rel__dst>.`` keys build a
+    :class:`..gnn.HeteroGNN`; ``weight``+``root``+``comp`` builds
+    :class:`..gnn.RGCNNodeModel`.  Unknown layouts raise a loud
+    ``ValueError`` naming the offending keys.
+    """
+    from .gnn import (
+        ConvStackNodeModel, GCNNodeModel, HeteroGNN, RGCNNodeModel,
+    )
+    from .layers import GATConv, GCNConv, SAGEConv
+
+    fc = _fc_params(sd)
+    if not fc:
+        raise ValueError(
+            "state dict has no fc.{2j}.weight head — not a supported "
+            "conv+fc checkpoint layout"
+        )
+    fc_channels = tuple(int(p["weight"].shape[1]) for p in fc)
+    out_features = int(fc[-1]["weight"].shape[0])
+
+    conv_idx = _conv_indices(sd)
+    if not conv_idx:
+        raise ValueError("state dict has no conv.{i}.* parameters")
+
+    # hetero: HeteroConv module-dict keys
+    if any(k.startswith(f"conv.{conv_idx[0]}.convs.") for k in sd):
+        relations = hetero_relations_from_state_dict(sd)
+        ntypes = sorted({r[0] for r in relations} | {r[-1] for r in relations})
+        layers, params_layers = [], []
+        prev = None
+        for ci in conv_idx:
+            prefix = f"conv.{ci}.convs."
+            rel_keys = sorted({
+                k[len(prefix):].split(".")[0]
+                for k in sd if k.startswith(prefix)
+            })
+            if not rel_keys:
+                raise ValueError(f"hetero layer conv.{ci} has no relations")
+            layer, pl_ = {}, {}
+            width = None
+            for rel in rel_keys:
+                rp = prefix + rel + "."
+                fam = _layer_family(sd, rp)
+                rel_t = tuple(rel.split("__"))
+                if fam == "gcn":
+                    w = sd[rp + "lin.weight"]
+                    prev_r = prev if prev is not None else w.shape[1]
+                    layer[rel_t] = GCNConv(prev_r, w.shape[0])
+                    p = {"weight": _j(w)}
+                    if rp + "bias" in sd:
+                        p["bias"] = _j(sd[rp + "bias"])
+                    pl_[rel] = p
+                    width = w.shape[0]
+                elif fam == "sage":
+                    w = sd[rp + "lin_l.weight"]
+                    prev_r = prev if prev is not None else w.shape[1]
+                    layer[rel_t] = SAGEConv(prev_r, w.shape[0])
+                    p = {
+                        "lin_l": {"weight": _j(w)},
+                        "lin_r": {"weight": _j(sd[rp + "lin_r.weight"])},
+                    }
+                    if rp + "lin_l.bias" in sd:
+                        p["lin_l"]["bias"] = _j(sd[rp + "lin_l.bias"])
+                    pl_[rel] = p
+                    width = w.shape[0]
+                elif fam == "gat":
+                    _, h, c = sd[rp + "att_src"].shape
+                    w_src = sd[rp + "lin_src.weight"]
+                    prev_r = prev if prev is not None else w_src.shape[1]
+                    layer[rel_t] = GATConv(
+                        (prev_r, prev_r), c, heads=h, add_self_loops=False
+                    )
+                    p = {
+                        "lin_src": {"weight": _j(w_src)},
+                        "lin_dst": {"weight": _j(
+                            sd.get(rp + "lin_dst.weight", w_src))},
+                        "att_src": _j(sd[rp + "att_src"]),
+                        "att_dst": _j(sd[rp + "att_dst"]),
+                    }
+                    if rp + "bias" in sd:
+                        p["bias"] = _j(sd[rp + "bias"])
+                    pl_[rel] = p
+                    width = h * c
+                else:
+                    raise ValueError(
+                        f"hetero relation {rel!r} layer family {fam!r} is "
+                        "not supported (GCN/SAGE/GAT per-relation convs are)"
+                    )
+            layers.append(layer)
+            params_layers.append(pl_)
+            prev = width
+        mdef = HeteroGNN(ntypes, layers, fc_channels, out_features)
+        return mdef, {"conv": params_layers, "fc": fc}
+
+    families = [_layer_family(sd, f"conv.{ci}.") for ci in conv_idx]
+
+    if "rgcn" in set(families):
+        if set(families) != {"rgcn"}:
+            raise ValueError(
+                "RGCN layers cannot mix with other conv families "
+                f"(found {families})"
+            )
+        params = rgcn_node_model_params(sd)
+        w0 = sd[f"conv.{conv_idx[0]}.weight"]
+        comp = sd.get(f"conv.{conv_idx[0]}.comp")
+        num_rel = comp.shape[0] if comp is not None else w0.shape[0]
+        channels = tuple(
+            int(sd[f"conv.{ci}.weight"].shape[2]) for ci in conv_idx
+        )
+        mdef = RGCNNodeModel(
+            int(w0.shape[1]), int(num_rel), conv_channels=channels,
+            num_bases=int(comp.shape[1]) if comp is not None else None,
+            fc_channels=fc_channels, out_features=out_features,
+        )
+        return mdef, params
+
+    if set(families) == {"gcn"}:
+        params = gcn_node_model_params(sd)
+        channels = tuple(int(p["weight"].shape[0]) for p in params["conv"])
+        in_features = int(params["conv"][0]["weight"].shape[1])
+        mdef = GCNNodeModel(
+            in_features, conv_channels=channels, fc_channels=fc_channels,
+            out_features=out_features,
+        )
+        return mdef, params
+
+    convs, conv_params = [], []
+    first_pre = f"conv.{conv_idx[0]}."
+    first_w = next(
+        (sd[first_pre + k] for k in (
+            "lin.weight", "lin_src.weight", "lin_l.weight",
+            "lin_rel.weight", "nn.0.weight",
+        ) if first_pre + k in sd),
+        None,
+    )
+    prev = int(first_w.shape[1])
+    for ci, fam in zip(conv_idx, families):
+        conv, p, prev = _homo_layer(sd, f"conv.{ci}.", fam, prev)
+        convs.append(conv)
+        conv_params.append(p)
+    mdef = ConvStackNodeModel(convs, fc_channels, out_features)
+    return mdef, {"conv": conv_params, "fc": fc}

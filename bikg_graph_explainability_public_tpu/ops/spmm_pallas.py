@@ -76,6 +76,15 @@ _ZERO_CLASSES = (16, 8, 4, 2, 1)
 #: v5 cnt layout: DMA run classes, zero-run classes, total transferred rows
 _NCNT5 = len(_RUN_CLASSES) + len(_ZERO_CLASSES) + 1
 
+#: v7 cnt layout: DMA run classes, total transferred rows, reduce-group count
+_NCNT7 = len(_RUN_CLASSES) + 2
+
+#: v7 reduce-group granularity: K-planes summed per fused iteration.  The
+#: group SIZE is static (ppg*TR slots, one contiguous load); only the group
+#: COUNT varies per block (ceil(block max degree / ppg), a prefetched
+#: scalar), so no lax.switch is needed anywhere.
+_PPG = 8
+
 
 class CompactPlan(NamedTuple):
     """Host-built compact, run-coalesced DMA plan for one
@@ -104,6 +113,9 @@ class CompactPlan(NamedTuple):
     dst: np.ndarray
     cnt: np.ndarray
     tr: int
+    #: plan layout family ("v3" serves the v3/fused/v6 schedules; "v5" and
+    #: "v7" plans are schedule-specific — dispatch asserts the match)
+    mode: str = "v3"
 
 
 def _pick_tr(k: int, row_bytes: int) -> int:
@@ -159,13 +171,22 @@ def build_compact_plan(
     (``_ZERO_CLASSES`` decomposition, appended class-major after the block's
     DMA entries; ``src`` is unused for them).  cnt grows to ``_NCNT5``
     columns per block.
+
+    ``mode="v7"``: the degree-clustered kernel's plan — gather slots are
+    addressed K-MAJOR (slot (row, kp) lives at flat ``kp*TR + row``), so a
+    row's valid slots occupy the leading K-planes of the block and the
+    reduce can stop at the block's max degree.  Cross-slot runs cannot form
+    in this layout (consecutive slots of one row are TR apart), so every
+    entry is a single-row DMA.  cnt grows to ``_NCNT7`` columns: the last
+    column is the block's reduce-group count ``max(1, ceil(maxdeg/_PPG))``.
     """
     n, k = nbr.shape
     n_pad = -(-n // tr) * tr
     nb = n_pad // tr
     trk = tr * k
     v5 = mode == "v5"
-    ncnt = _NCNT5 if v5 else _NCNT
+    v7 = mode == "v7"
+    ncnt = _NCNT5 if v5 else (_NCNT7 if v7 else _NCNT)
     v = np.zeros((n_pad, k), bool)
     v[:n] = valid > 0
     nb_full = np.zeros((n_pad, k), np.int64)
@@ -175,10 +196,18 @@ def build_compact_plan(
     src = np.zeros((nb, trk), np.int32)
     dst = np.zeros((nb, trk), np.int32)
     cnt = np.zeros((nb, ncnt), np.int32)
-    cnt[:, -1] = vb.sum(1)
+    if v7:
+        cnt[:, len(_RUN_CLASSES)] = vb.sum(1)
+        deg_blocks = v.sum(1).reshape(nb, tr)
+        cnt[:, len(_RUN_CLASSES) + 1] = np.maximum(
+            1, -(-deg_blocks.max(1) // _PPG)
+        )
+    else:
+        cnt[:, -1] = vb.sum(1)
     flat = np.nonzero(vb.ravel())[0]
     if flat.size == 0 and not v5:
-        return CompactPlan(src=src, dst=dst, cnt=cnt.reshape(-1), tr=tr)
+        return CompactPlan(src=src, dst=dst, cnt=cnt.reshape(-1), tr=tr,
+                           mode=mode)
     blk = (flat // trk).astype(np.int64)
     slot = (flat % trk).astype(np.int64)
     srcs = nbb.ravel()[flat]
@@ -186,6 +215,12 @@ def build_compact_plan(
     brk[1:] = (
         (np.diff(blk) != 0) | (np.diff(slot) != 1) | (np.diff(srcs) != 1)
     )
+    if v7:
+        # K-major slot addressing: remap in-block slot (row, kp) ->
+        # kp*TR + row; consecutive remapped slots are TR apart so every
+        # run is a single entry
+        slot = (slot % k) * tr + slot // k
+        brk[:] = True
     if v5:
         brk |= slot % k == 0  # rows are separate scratch dims in 5D
     run_first = np.nonzero(brk)[0]
@@ -212,14 +247,16 @@ def build_compact_plan(
     # block-compact, class-major layout: stable sort by (block, class);
     # within equal keys the run order (ascending position) is preserved
     order = np.lexsort((cls, eb))
-    bc = cnt[:, :-1].sum(1, dtype=np.int64)  # entries per block
+    ncls = len(_RUN_CLASSES) + (len(_ZERO_CLASSES) if v5 else 0)
+    bc = cnt[:, :ncls].sum(1, dtype=np.int64)  # entries per block
     first = np.zeros(nb + 1, np.int64)
     np.cumsum(bc, out=first[1:])
     within = np.arange(eb.size) - np.repeat(first[:-1], bc)
     eb_s = eb[order]
     src[eb_s, within] = ent_src[order]
     dst[eb_s, within] = ent_dst[order]
-    return CompactPlan(src=src, dst=dst, cnt=cnt.reshape(-1), tr=tr)
+    return CompactPlan(src=src, dst=dst, cnt=cnt.reshape(-1), tr=tr,
+                       mode=mode)
 
 
 def _row_reduce(gbuf, w_ref, out_ref, slot, r, *, k, b, f, wb, mxu):
@@ -708,6 +745,23 @@ def spmm_ell_pallas(
             plan_src, plan_dst, plan_cnt, deg_lane, feats, k=k, tr=tr,
             n=n, interpret=interpret, ablate=ablate,
         )[:n]
+    if sched == "v7":
+        # degree-clustered masked sum: same static-validity weight input as
+        # v6 (prefix form — deg per row), but the plan must be K-major
+        # (build_compact_plan mode="v7")
+        if not mxu:
+            raise ValueError("sched='v7' serves the static mode only")
+        if n is None:
+            raise ValueError("static mode requires n")
+        nb_blocks = w_slot.shape[0]
+        deg = w_slot.reshape(nb_blocks, tr, k).sum(-1)
+        deg_lane = jnp.broadcast_to(
+            deg[:, :, None, None], (nb_blocks, tr, 1, 128)
+        )
+        return _spmm_v7(
+            plan_src, plan_dst, plan_cnt, deg_lane, feats, k=k, tr=tr,
+            n=n, interpret=interpret, ablate=ablate,
+        )[:n]
     if mxu:
         if n is None:
             raise ValueError("static (2D-weight) mode requires n")
@@ -951,6 +1005,209 @@ def _spmm_v6(
         g //= 2
     kern = functools.partial(
         _kernel_v6, tr=tr, k=k, g=g, rpi=rpi, ablate=ablate
+    )
+    x3 = feats.reshape(feats.shape[0], wp, 128)
+    gbuf_bytes = 3 * rows * w_width * feats.dtype.itemsize
+    last = nb_blocks - 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb_blocks + 2,),
+        in_specs=[
+            pl.BlockSpec((1, 1, rows),
+                         lambda s, c: (jnp.minimum(s, last), 0, 0),
+                         memory_space=pltpu.SMEM),  # plan src
+            pl.BlockSpec((1, 1, rows),
+                         lambda s, c: (jnp.minimum(s, last), 0, 0),
+                         memory_space=pltpu.SMEM),  # plan dst
+            pl.BlockSpec((1, tr, 1, 128),
+                         lambda s, c: (jnp.maximum(s - 2, 0), 0, 0, 0),
+                         memory_space=pltpu.VMEM),  # per-row degrees
+            pl.BlockSpec(memory_space=pl.ANY),  # feats (HBM)
+        ],
+        out_specs=pl.BlockSpec((tr, w_width),
+                               lambda s, c: (jnp.maximum(s - 2, 0), 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((3, rows, wp, 128), feats.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, w_width), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=gbuf_bytes + 32 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        plan_cnt,
+        plan_src.reshape(nb_blocks, 1, rows),
+        plan_dst.reshape(nb_blocks, 1, rows),
+        deg_lane,
+        x3,
+    )
+
+
+def _kernel_v7(cnt_ref, src_ref, dst_ref, deg_ref, x_hbm, out_ref,
+               gbuf, sems, *, tr, k, g, ppg, ablate=""):
+    """Degree-clustered fused issue+masked-sum schedule — v7.
+
+    v6's reduce reads every one of the block's TR*K slots even though the
+    production tables are ~69% ELL padding (K = max degree, mean degree
+    ~K/3).  v7 stores gather slots K-MAJOR (slot (row, kp) at flat
+    ``kp*TR + row``, remapped in the plan — flat single-slot DMA targets,
+    zero extra scalar work per issue), so the block's real data occupies
+    its leading K-planes and the reduce reads only
+    ``ng = max(1, ceil(block max degree / ppg))`` groups of ``ppg*TR``
+    contiguous slots.  With rows degree-sorted by the caller
+    (:func:`..ell.degree_clustered_table`), most blocks have small ng and
+    the masked-sum work drops ~K/meandeg-fold; without sorting the kernel
+    is still correct, just reduce-heavier.  ``ng`` rides the plan's cnt
+    column (_NCNT7 layout) — the group SIZE is static so no lax.switch
+    exists anywhere.  Groups accumulate into the out block (VMEM
+    read-modify-write, ~MB per block — negligible next to the gather).
+    The per-row degree mask (j < deg) zeroes padded and stale slots as in
+    v6; group 0 of an all-pad block writes exact zeros through the mask.
+    """
+    s = pl.program_id(0)
+    nb = pl.num_programs(0) - 2
+    if ablate == "none":
+        return
+
+    slot_i = jax.lax.rem(s, 3)
+    slot_r = jax.lax.rem(s - 2, 3)
+    do_issue = s < nb
+
+    # stale slots flow through the mask multiply: zero once so finite
+    @pl.when(s == 0)
+    def _():
+        gbuf[0] = jnp.zeros_like(gbuf[0])
+        gbuf[1] = jnp.zeros_like(gbuf[1])
+        gbuf[2] = jnp.zeros_like(gbuf[2])
+
+    def start_dma(rr, ln):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(src_ref[0, 0, rr], ln)],
+            gbuf.at[slot_i, pl.ds(dst_ref[0, 0, rr], ln)],
+            sems.at[slot_i],
+        )
+
+    # multi-row DMA run classes (always empty in the K-major layout, kept
+    # for plan-layout symmetry; the loops fold to nothing at trip count 0)
+    base = 0
+    for ci, cl in enumerate(_RUN_CLASSES[:-1]):
+        c_cl = jnp.where(do_issue, cnt_ref[s * _NCNT7 + ci], 0)
+
+        def body(i, _, b0=base, ln=cl):
+            start_dma(b0 + i, ln).start()
+            return 0
+
+        jax.lax.fori_loop(0, c_cl, body, 0, unroll=False)
+        base = base + c_cl
+
+    c1 = jnp.where(do_issue, cnt_ref[s * _NCNT7 + len(_RUN_CLASSES) - 1], 0)
+    nch = c1 // g
+    n_red = jnp.where(
+        s >= 2,
+        cnt_ref[jnp.maximum(s - 2, 0) * _NCNT7 + len(_RUN_CLASSES) + 1],
+        0,
+    )
+    if ablate == "noreduce":
+        n_red = 0
+
+        @pl.when(s >= 2)
+        def _():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+    # tpu.iota is integer-only; the degree block converts instead
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (ppg, 1, 1, 128), 0)
+
+    def issue_chunk(i, b0=base):
+        off = b0 + i * g
+        for j in range(g):
+            start_dma(off + j, 1).start()
+
+    def reduce_group(i):
+        planes = gbuf[slot_r, pl.ds(i * ppg * tr, ppg * tr)]
+        g4 = planes.reshape(ppg, tr, planes.shape[1], 128)
+        dg = deg_ref[0]  # [TR, 1, 128]
+        okf = (
+            (j_iota + i * ppg) < dg[None].astype(jnp.int32)
+        ).astype(g4.dtype)  # [ppg, TR, 1, 128]
+        part = (g4 * okf).astype(jnp.float32).sum(axis=0)  # [TR, wp, 128]
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[:] = part.reshape(tr, -1)
+
+        @pl.when(i > 0)
+        def _():
+            out_ref[:] = out_ref[:] + part.reshape(tr, -1)
+
+    def fused_body(i, _):
+        @pl.when((i < nch) & (i < n_red))
+        def _():
+            issue_chunk(i)
+            reduce_group(i)
+
+        @pl.when((i < nch) & (i >= n_red))
+        def _():
+            issue_chunk(i)
+
+        @pl.when((i >= nch) & (i < n_red))
+        def _():
+            reduce_group(i)
+        return 0
+
+    jax.lax.fori_loop(0, jnp.maximum(nch, n_red), fused_body, 0,
+                      unroll=False)
+    tail = base + nch * g
+    for j in range(g):
+        @pl.when(nch * g + j < c1)
+        def _():
+            start_dma(tail + j, 1).start()
+
+    # drain block s-1's rows (identical to _kernel step 3)
+    @pl.when((s >= 1) & (s <= nb))
+    def _():
+        slot = jax.lax.rem(s - 1, 3)
+        rows_total = cnt_ref[(s - 1) * _NCNT7 + len(_RUN_CLASSES)]
+        nch_w = rows_total // g
+
+        def wait_rows(r):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(0, r)],
+                gbuf.at[slot, pl.ds(0, r)],
+                sems.at[slot],
+            )
+
+        jax.lax.fori_loop(
+            0, nch_w, lambda ci, _: (wait_rows(g).wait(), 0)[1],
+            0, unroll=False)
+        for j in range(g):
+            @pl.when(nch_w * g + j < rows_total)
+            def _():
+                wait_rows(1).wait()
+
+
+def _spmm_v7(
+    plan_src, plan_dst, plan_cnt, deg_lane, feats, *, k, tr, n, interpret,
+    ablate="",
+):
+    """pallas_call wrapper for the v7 degree-clustered schedule."""
+    w_width = feats.shape[1]
+    wp = w_width // 128
+    rows = tr * k
+    if k % _PPG:
+        raise ValueError(f"k={k} must be a multiple of {_PPG}")
+    n_pad = -(-n // tr) * tr
+    nb_blocks = n_pad // tr
+    g = _G
+    while rows % g:
+        g //= 2
+    kern = functools.partial(
+        _kernel_v7, tr=tr, k=k, g=g, ppg=_PPG, ablate=ablate
     )
     x3 = feats.reshape(feats.shape[0], wp, 128)
     gbuf_bytes = 3 * rows * w_width * feats.dtype.itemsize
