@@ -54,10 +54,11 @@ import numpy as np
 # primary: subgraph-scale hot loop
 SUB_N, SUB_E, B_SUB = 2048, 16384, 1000
 # secondary: full-graph stress
-# BIG_CHUNK=32: 16 KB aggregation rows — the v6 SpMM kernel's DMA issue
-# cost amortises with row width (chunk sweep measured 253.5 f/s at 16 vs
-# 346.0 at 32 on the fullgraph workload)
-BIG_N, BIG_E, B_BIG, BIG_CHUNK = 100_000, 1_000_000, 64, 32
+# BIG_CHUNK=48: 24 KB aggregation rows — the v7 SpMM kernel's DMA issue
+# cost amortises with row width (round-5 chunk sweep on the fullgraph
+# workload: 357 f/s at 32, 518 at 48, 416 at 64; spmm_sol_fraction 0.527 /
+# 0.605 / 0.641 at B=32/48/64 — 48 is the engine optimum)
+BIG_N, BIG_E, B_BIG, BIG_CHUNK = 100_000, 1_000_000, 96, 48
 N_FEATS, HIDDEN = 84, 128
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), ".bench_baseline.json")
 

@@ -157,14 +157,16 @@ def gather_sum_batched_separable(
         feats_bc.reshape(-1, b, f) * a_t[:, :, None]
     ).reshape(-1, b * f)
     if _use_pallas(backend, table, feats_bc.shape[-1]):
-        out = gather_sum_static(
-            table, scaled, b=b, plan=plan, static_w=static_w
+        # the destination-side scale rides the kernel (one VMEM pass per
+        # block) instead of a full [N, W] HBM read+write after it
+        return gather_sum_static(
+            table, scaled, b=b, plan=plan, static_w=static_w,
+            post_scale=a_t.astype(jnp.float32),
         )
-    else:
-        loop = (senders != receivers).astype(scaled.dtype)
-        msg = scaled[senders] * loop[:, None]
-        out = jax.ops.segment_sum(
-            msg.astype(jnp.float32), receivers, num_segments=num_nodes,
-            indices_are_sorted=indices_are_sorted,
-        )
+    loop = (senders != receivers).astype(scaled.dtype)
+    msg = scaled[senders] * loop[:, None]
+    out = jax.ops.segment_sum(
+        msg.astype(jnp.float32), receivers, num_segments=num_nodes,
+        indices_are_sorted=indices_are_sorted,
+    )
     return (out.reshape(-1, b, f) * a_t[:, :, None]).reshape(-1, b * f)

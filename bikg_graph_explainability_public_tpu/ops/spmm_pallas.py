@@ -704,6 +704,7 @@ def spmm_ell_pallas(
     interpret: bool = False,
     ablate: str = "",
     sched: str = "v3",
+    post_scale: Optional[jax.Array] = None,  # [N, B] fused output scale (v7)
 ) -> jax.Array:            # [N, W] f32
     """Blocked-ELL SpMM kernel: out[v] = sum_k w[v,k] * feats[nbr[v,k]].
 
@@ -761,6 +762,7 @@ def spmm_ell_pallas(
         return _spmm_v7(
             plan_src, plan_dst, plan_cnt, deg_lane, feats, k=k, tr=tr,
             n=n, interpret=interpret, ablate=ablate,
+            post_scale=post_scale, b=b,
         )[:n]
     if mxu:
         if n is None:
@@ -1049,8 +1051,8 @@ def _spmm_v6(
     )
 
 
-def _kernel_v7(cnt_ref, src_ref, dst_ref, deg_ref, x_hbm, out_ref,
-               gbuf, sems, *, tr, k, g, ppg, ablate=""):
+def _kernel_v7(cnt_ref, src_ref, dst_ref, deg_ref, *rest, tr, k, g, ppg,
+               ablate="", b=1, has_scale=False):
     """Degree-clustered fused issue+masked-sum schedule — v7.
 
     v6's reduce reads every one of the block's TR*K slots even though the
@@ -1069,7 +1071,14 @@ def _kernel_v7(cnt_ref, src_ref, dst_ref, deg_ref, x_hbm, out_ref,
     read-modify-write, ~MB per block — negligible next to the gather).
     The per-row degree mask (j < deg) zeroes padded and stale slots as in
     v6; group 0 of an all-pad block writes exact zeros through the mask.
+    ``has_scale``: an extra ``[1, TR, B]`` per-(row, sample) output-scale
+    block precedes the feats ref in ``rest``.
     """
+    if has_scale:
+        scale_ref, x_hbm, out_ref, gbuf, sems = rest
+    else:
+        scale_ref = None
+        x_hbm, out_ref, gbuf, sems = rest
     s = pl.program_id(0)
     nb = pl.num_programs(0) - 2
     if ablate == "none":
@@ -1162,6 +1171,19 @@ def _kernel_v7(cnt_ref, src_ref, dst_ref, deg_ref, x_hbm, out_ref,
 
     jax.lax.fori_loop(0, jnp.maximum(nch, n_red), fused_body, 0,
                       unroll=False)
+
+    # optional fused output scale: out[r, b, :] *= scale[r, b] — replaces a
+    # full [N, W] HBM read+write pass in the separable op (the post-scale)
+    # with a VMEM-local pass per block (~1 MB, negligible)
+    if scale_ref is not None:
+        @pl.when((s >= 2) & (n_red > 0))
+        def _():
+            o = out_ref[:]
+            sc = scale_ref[0]  # [tr, b]
+            out_ref[:] = (
+                o.reshape(tr, b, -1) * sc[:, :, None]
+            ).reshape(o.shape)
+
     tail = base + nch * g
     for j in range(g):
         @pl.when(nch * g + j < c1)
@@ -1193,7 +1215,7 @@ def _kernel_v7(cnt_ref, src_ref, dst_ref, deg_ref, x_hbm, out_ref,
 
 def _spmm_v7(
     plan_src, plan_dst, plan_cnt, deg_lane, feats, *, k, tr, n, interpret,
-    ablate="",
+    ablate="", post_scale=None, b=1,
 ):
     """pallas_call wrapper for the v7 degree-clustered schedule."""
     w_width = feats.shape[1]
@@ -1206,27 +1228,46 @@ def _spmm_v7(
     g = _G
     while rows % g:
         g //= 2
+    has_scale = post_scale is not None
     kern = functools.partial(
-        _kernel_v7, tr=tr, k=k, g=g, ppg=_PPG, ablate=ablate
+        _kernel_v7, tr=tr, k=k, g=g, ppg=_PPG, ablate=ablate, b=b,
+        has_scale=has_scale,
     )
     x3 = feats.reshape(feats.shape[0], wp, 128)
     gbuf_bytes = 3 * rows * w_width * feats.dtype.itemsize
     last = nb_blocks - 1
+    in_specs = [
+        pl.BlockSpec((1, 1, rows),
+                     lambda s, c: (jnp.minimum(s, last), 0, 0),
+                     memory_space=pltpu.SMEM),  # plan src
+        pl.BlockSpec((1, 1, rows),
+                     lambda s, c: (jnp.minimum(s, last), 0, 0),
+                     memory_space=pltpu.SMEM),  # plan dst
+        pl.BlockSpec((1, tr, 1, 128),
+                     lambda s, c: (jnp.maximum(s - 2, 0), 0, 0, 0),
+                     memory_space=pltpu.VMEM),  # per-row degrees
+    ]
+    operands = [
+        plan_src.reshape(nb_blocks, 1, rows),
+        plan_dst.reshape(nb_blocks, 1, rows),
+        deg_lane,
+    ]
+    if has_scale:
+        in_specs.append(
+            pl.BlockSpec((1, tr, b),
+                         lambda s, c: (jnp.maximum(s - 2, 0), 0, 0),
+                         memory_space=pltpu.VMEM)  # per-(row, sample) scale
+        )
+        ps = post_scale
+        if ps.shape[0] != n_pad:
+            ps = jnp.pad(ps, ((0, n_pad - ps.shape[0]), (0, 0)))
+        operands.append(ps.reshape(nb_blocks, tr, b))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # feats (HBM)
+    operands.append(x3)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb_blocks + 2,),
-        in_specs=[
-            pl.BlockSpec((1, 1, rows),
-                         lambda s, c: (jnp.minimum(s, last), 0, 0),
-                         memory_space=pltpu.SMEM),  # plan src
-            pl.BlockSpec((1, 1, rows),
-                         lambda s, c: (jnp.minimum(s, last), 0, 0),
-                         memory_space=pltpu.SMEM),  # plan dst
-            pl.BlockSpec((1, tr, 1, 128),
-                         lambda s, c: (jnp.maximum(s - 2, 0), 0, 0, 0),
-                         memory_space=pltpu.VMEM),  # per-row degrees
-            pl.BlockSpec(memory_space=pl.ANY),  # feats (HBM)
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tr, w_width),
                                lambda s, c: (jnp.maximum(s - 2, 0), 0),
                                memory_space=pltpu.VMEM),
@@ -1243,13 +1284,7 @@ def _spmm_v7(
             vmem_limit_bytes=gbuf_bytes + 32 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(
-        plan_cnt,
-        plan_src.reshape(nb_blocks, 1, rows),
-        plan_dst.reshape(nb_blocks, 1, rows),
-        deg_lane,
-        x3,
-    )
+    )(plan_cnt, *operands)
 
 
 def _spmm_v5(
@@ -1334,20 +1369,56 @@ def _cache_by_identity(cache: dict, anchor, key_extra: tuple, build):
     return val
 
 
-def plan_for_table(table, w_width: int, itemsize: int = 4) -> Optional[CompactPlan]:
+def plan_for_table(
+    table, w_width: int, itemsize: int = 4, mode: str = "v3"
+) -> Optional[CompactPlan]:
     """CompactPlan for a NeighborTable at the given row payload (cached by
-    table identity; returns None when K blows the VMEM budget)."""
+    table identity; returns None when K blows the VMEM budget or, for v7,
+    when K is not a reduce-group multiple)."""
     tr = _pick_tr(table.k, w_width * itemsize)
-    if tr == 0:
+    if tr == 0 or (mode == "v7" and table.k % _PPG):
         return None
     return _cache_by_identity(
         _PLAN_CACHE,
         table.nbr,
-        (tr,),
+        (tr, mode),
         lambda: build_compact_plan(
-            np.asarray(table.nbr), np.asarray(table.valid), tr
+            np.asarray(table.nbr), np.asarray(table.valid), tr, mode=mode
         ),
     )
+
+
+_CLUSTER_CACHE: dict = {}
+
+
+def cluster_for_table(table, w_width: int, itemsize: int = 4):
+    """Degree-clustered v7 layout for a NeighborTable, cached by identity.
+
+    Rows are sorted by degree (descending, stable) so each TR-row block's
+    max degree — and therefore the v7 kernel's reduce-group count — is
+    small for most blocks (the production tables are ~69% ELL padding).
+    Returns ``(plan_v7, static_w_sorted, perm, inv_perm)`` or None when K
+    blows the VMEM budget or is not a multiple of the reduce-group size.
+    Outputs of the v7 kernel are in sorted order; ``inv_perm`` restores the
+    caller's row order (a row gather the consumer fuses into its output
+    scale — measured free on the separable path).
+    """
+    tr = _pick_tr(table.k, w_width * itemsize)
+    if tr == 0 or table.k % _PPG:
+        return None
+
+    def build():
+        nbr = np.asarray(table.nbr)
+        valid = np.asarray(table.valid)
+        deg = (valid > 0).sum(1)
+        perm = np.argsort(-deg, kind="stable")
+        inv = np.argsort(perm).astype(np.int32)
+        nbr_s, valid_s = nbr[perm], valid[perm]
+        plan = build_compact_plan(nbr_s, valid_s, tr, mode="v7")
+        w2 = _static_weights(valid_s, tr)
+        return plan, w2, perm.astype(np.int32), inv
+
+    return _cache_by_identity(_CLUSTER_CACHE, table.nbr, ("v7", tr), build)
 
 
 def batched_gather_sum(
@@ -1385,6 +1456,7 @@ def gather_sum_static(
     interpret: Optional[bool] = None,
     plan: Optional[CompactPlan] = None,
     static_w: Optional[jax.Array] = None,
+    post_scale: Optional[jax.Array] = None,  # [N, B]: out[v,s,:] *= ps[v,s]
 ) -> jax.Array:
     """out[v] = sum of feats[src] over valid slots — STATIC validity weights.
 
@@ -1399,14 +1471,24 @@ def gather_sum_static(
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    n = table.nbr.shape[0]
+    if plan is None:
+        # v7 schedule (the production default): K-major scratch, per-block
+        # reduce-group counts — the reduce reads ceil(blockmax/8) K-plane
+        # groups instead of all TR*K slots.  521 -> 561 GB/s unsorted at
+        # the 100k/1M B=32 workload vs v6; the sorted variant is faster
+        # kernel-side (611) but its output un-permute pass costs more than
+        # sorting saves in the full op (benchmarks/exp_spmm_v7.py)
+        plan = plan_for_table(
+            table, feats.shape[1], feats.dtype.itemsize, mode="v7"
+        )
     if plan is None:
         plan = plan_for_table(table, feats.shape[1], feats.dtype.itemsize)
     if plan is None:
         raise ValueError(f"K={table.k} too large for the VMEM gather scratch")
-    n = table.nbr.shape[0]
     # NUMPY on purpose: built once per (table, tr), passed as a jit argument;
     # a traced slice cached here would leak across traces.  Layout: the MXU
-    # mode's [NB, TR*K] block-compact static weights.
+    # mode's [NB, TR*K] block-compact static weights (plan-mode independent).
     w2 = static_w
     if w2 is None:
         w2 = _cache_by_identity(
@@ -1415,18 +1497,42 @@ def gather_sum_static(
             (plan.tr,),
             lambda: _static_weights(np.asarray(table.valid), plan.tr),
         )
-    # v6 fused masked-sum schedule: 375 GB/s vs v3's 276 at the 100k/1M
-    # B=16 workload, and bitwise exact (v3's MXU block-diagonal reduce
-    # carries single-pass-bf16 error) — benchmarks/exp_spmm_v5.py
-    return spmm_ell_pallas(
+    if plan.mode == "v7":
+        return spmm_ell_pallas(
+            plan.src, plan.dst, plan.cnt, w2, feats,
+            k=table.k, tr=plan.tr, b=b, n=n, interpret=interpret,
+            sched="v7", post_scale=post_scale,
+        )
+    # v6 fused masked-sum schedule fallback (K not a reduce-group multiple)
+    out = spmm_ell_pallas(
         plan.src, plan.dst, plan.cnt, w2, feats,
         k=table.k, tr=plan.tr, b=b, n=n, interpret=interpret, sched="v6",
     )
+    if post_scale is not None:
+        f = feats.shape[1] // b
+        out = (
+            out.reshape(-1, b, f) * post_scale[:, :, None]
+        ).reshape(out.shape)
+    return out
 
 
 def _static_weights(valid: np.ndarray, tr: int) -> np.ndarray:
-    """[NB, TR*K] f32 slot-validity weights in the MXU block layout."""
+    """[NB, TR*K] f32 slot-validity weights in the MXU block layout.
+
+    The v6/v7 schedules derive each row's degree from these weights and
+    mask slots by ``j < deg`` — valid slots MUST form a per-row prefix
+    (guaranteed by ``build_neighbor_table_edges``'s source sort; asserted
+    here so a hand-built table with interior holes fails loudly instead of
+    summing silently wrong).
+    """
     n, k = valid.shape
+    v01 = valid > 0
+    if k > 1 and np.any(v01[:, 1:] & ~v01[:, :-1]):
+        raise ValueError(
+            "NeighborTable validity is not in prefix form (a valid slot "
+            "follows an invalid one); the v6/v7 masked-sum schedules "
+            "require the builder's source-sorted layout"
+        )
     n_pad = -(-n // tr) * tr
     v = np.zeros((n_pad, k), np.float32)
     v[:n] = valid
