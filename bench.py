@@ -356,10 +356,27 @@ def bench_spmm_sol(
             a, feats, snd_s, rcv_s, g.n_pad, b, **kw
         )
 
-    # the general weighted primitive (edge problems)
-    w_in = w_eb if use_pallas else w_sorted
+    # the weighted primitive as the edge-problem engines run it: weights
+    # arrive as the coeff tensor [B, N, K] (built from masks via the
+    # table, ops/ell.py::gcn_coeffs_from_edge_mask) and are transposed
+    # into slot layout in-op (~2 ms) — the [E, B]-indexed wrapper instead
+    # pays an XLA slot re-index gather measured at 20 ms (B=16) to 189 ms
+    # (B=48) here, which no production path uses anymore
+    valid_np = np.asarray(table.valid)
+    w_bnk = jnp.asarray(
+        rng.random((b, g.n_pad, table.k), dtype=np.float32)
+        * valid_np[None, :, :]
+    )
 
     def op_weighted(w, feats):
+        if use_pallas:
+            kk = table.k
+            w_slot = jnp.transpose(
+                w.reshape(b, g.n_pad * kk)
+            ).reshape(g.n_pad, kk, b)
+            return spmm.weighted_gather_sum_batched(
+                None, feats, snd_s, rcv_s, g.n_pad, b, w_slot=w_slot, **kw
+            )
         return spmm.weighted_gather_sum_batched(
             w, feats, snd_s, rcv_s, g.n_pad, b, **kw
         )
@@ -411,7 +428,7 @@ def bench_spmm_sol(
             round(gbps / roof, 3) if roof else None
         )
     if measure_weighted:
-        dt_w = slope(op_weighted, w_in)
+        dt_w = slope(op_weighted, w_bnk if use_pallas else w_sorted)
         out["spmm_weighted_gbps"] = round(
             (bytes_moved + e * b * 4) / dt_w / 1e9, 1
         )

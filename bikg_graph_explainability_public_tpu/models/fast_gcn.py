@@ -388,10 +388,28 @@ class FastBatchedGCN:
             n = h.shape[1]
             b = masks.shape[0]
             if is_edge:
-                # per-edge masks are NOT separable — weighted path
-                w_be = mf[:, self.eid_sorted]
-                w_be = w_be * (snd_s != rcv_s)[None, :]
-                norm_eb = (w_be * dis[:, snd_s] * dis[:, rcv_s]).T  # [E, B]
+                # per-edge masks are NOT separable — weighted path.  The
+                # slot-layout weights already exist as the coeff tensor
+                # (gcn_coeffs_from_edge_mask, computed for layer 1 above);
+                # one [B, N*K] -> [N*K, B] transpose (~2 ms at 100k/1M)
+                # replaces the [E, B] build + the kernel-side eid re-index
+                # gather (20-189 ms measured)
+                from ..ops.spmm import _use_pallas
+
+                use_pal = _use_pallas(
+                    self.spmm_backend, self.table, b * h.shape[-1]
+                )
+                norm_eb = None
+                w_slot_nkb = None
+                if use_pal:
+                    kk = self.table.k
+                    w_slot_nkb = jnp.transpose(
+                        coeff.astype(jnp.float32).reshape(b, n * kk)
+                    ).reshape(n, kk, b)
+                else:
+                    w_be = mf[:, self.eid_sorted]
+                    w_be = w_be * (snd_s != rcv_s)[None, :]
+                    norm_eb = (w_be * dis[:, snd_s] * dis[:, rcv_s]).T
             else:
                 # node masks ARE: w[e] = a[snd]*a[rcv], a = mask * deg^-1/2
                 a_bn = mf * dis  # [B, N]
@@ -416,7 +434,7 @@ class FastBatchedGCN:
                 )
                 if is_edge:
                     out_t = weighted_gather_sum_batched(
-                        norm_eb.astype(self.dtype),
+                        None if norm_eb is None else norm_eb.astype(self.dtype),
                         hw_t,
                         snd_s,
                         rcv_s,
@@ -424,6 +442,7 @@ class FastBatchedGCN:
                         b,
                         table=self.table_sorted,
                         backend=self.spmm_backend,
+                        w_slot=w_slot_nkb,
                     )
                 else:
                     out_t = gather_sum_batched_separable(

@@ -100,16 +100,22 @@ def weighted_gather_sum_batched(
     table=None,
     backend: Optional[str] = None,
     indices_are_sorted: bool = True,
+    w_slot=None,                # [N, K, B] pre-built slot-layout weights
 ) -> jax.Array:                 # [N, B*F]
     """Batched aggregation: out[v] = sum_e w[e, :] * feats[snd_e] with the
     per-sample weight broadcast over each sample's F block.
 
     The hot op of big-graph batched forwards.  ``edge_weight_eb`` rows must
     be indexed like ``senders``/``receivers`` (for the pallas path the
-    table's ``eid`` re-indexes into the same order).
+    table's ``eid`` re-indexes into the same order).  Callers that already
+    hold slot-layout weights (the engines' coeff tensors) pass ``w_slot``
+    and skip that re-index (see ``spmm_pallas.batched_gather_sum``);
+    ``edge_weight_eb`` may then be None when the pallas path is taken.
     """
     if _use_pallas(backend, table, feats_bc.shape[-1]):
-        return batched_gather_sum(table, edge_weight_eb, feats_bc, b=b)
+        return batched_gather_sum(
+            table, edge_weight_eb, feats_bc, b=b, w_slot=w_slot
+        )
     f = feats_bc.shape[-1] // b
     msg = feats_bc[senders].reshape(-1, b, f) * edge_weight_eb[:, :, None]
     return jax.ops.segment_sum(

@@ -746,12 +746,32 @@ def spmm_ell_pallas(
             plan_src, plan_dst, plan_cnt, deg_lane, feats, k=k, tr=tr,
             n=n, interpret=interpret, ablate=ablate,
         )[:n]
+    if sched == "v7" and not mxu:
+        # fused weighted reduce: per-slot per-sample weights stream as
+        # row-major [TR*K, 128] blocks (b real lanes, lane-padded host-side
+        # — contiguous pipeline DMAs; the kernel K-majors each block into a
+        # VMEM scratch).  The lane pad costs (128-b)/b extra weight bytes,
+        # ~1.6 GB/s-scale at the production shapes — noise next to the
+        # feature gather.
+        n0 = w_slot.shape[0]
+        wb7 = w_slot.shape[2]
+        if wb7 != b:
+            raise ValueError("sched='v7' weighted mode needs per-sample "
+                             f"weights (wb={wb7} != b={b})")
+        n_pad7 = -(-n0 // tr) * tr
+        ws = w_slot.reshape(n0 * k, wb7)
+        ws = jnp.pad(
+            ws, ((0, (n_pad7 - n0) * k), (0, 128 - wb7))
+        )
+        return _spmm_v7(
+            plan_src, plan_dst, plan_cnt, None, feats, k=k, tr=tr,
+            n=n0, interpret=interpret, ablate=ablate, b=b,
+            weights_km=ws, post_scale=post_scale,
+        )[:n0]
     if sched == "v7":
         # degree-clustered masked sum: same static-validity weight input as
         # v6 (prefix form — deg per row), but the plan must be K-major
         # (build_compact_plan mode="v7")
-        if not mxu:
-            raise ValueError("sched='v7' serves the static mode only")
         if n is None:
             raise ValueError("static mode requires n")
         nb_blocks = w_slot.shape[0]
@@ -1052,7 +1072,7 @@ def _spmm_v6(
 
 
 def _kernel_v7(cnt_ref, src_ref, dst_ref, deg_ref, *rest, tr, k, g, ppg,
-               ablate="", b=1, has_scale=False):
+               ablate="", b=1, has_scale=False, weighted=False):
     """Degree-clustered fused issue+masked-sum schedule — v7.
 
     v6's reduce reads every one of the block's TR*K slots even though the
@@ -1073,8 +1093,26 @@ def _kernel_v7(cnt_ref, src_ref, dst_ref, deg_ref, *rest, tr, k, g, ppg,
     v6; group 0 of an all-pad block writes exact zeros through the mask.
     ``has_scale``: an extra ``[1, TR, B]`` per-(row, sample) output-scale
     block precedes the feats ref in ``rest``.
+    ``weighted``: ``deg_ref`` instead carries the block's per-slot
+    per-sample weights as ``[1, TR*K, 128]`` — ROW-major slots (row r,
+    slot kp at ``r*K + kp``), the real ``b`` samples in the leading lanes.
+    Row-major 128-lane rows stream contiguously through the block
+    pipeline (a ``[*, b]``-lane block spec measured 2-4x slower — the
+    pipeline DMAs degenerate to b-lane strided segments), and the kernel
+    transposes each block to K-major once into a VMEM scratch (leading-dim
+    transpose, ~0.2 MB) so reduce groups slice it like the gather scratch.
+    Invalid and never-read slots carry weight 0, so the sum is exact
+    without a degree mask.  The v3 weighted path ran the serial
+    three-region schedule; this fused form is the one in which scalar DMA
+    issue and the VPU weighted reduce share VLIW bundles.
     """
-    if has_scale:
+    if weighted:
+        if has_scale:
+            scale_ref, x_hbm, out_ref, gbuf, sems, wscr = rest
+        else:
+            scale_ref = None
+            x_hbm, out_ref, gbuf, sems, wscr = rest
+    elif has_scale:
         scale_ref, x_hbm, out_ref, gbuf, sems = rest
     else:
         scale_ref = None
@@ -1137,14 +1175,33 @@ def _kernel_v7(cnt_ref, src_ref, dst_ref, deg_ref, *rest, tr, k, g, ppg,
         for j in range(g):
             start_dma(off + j, 1).start()
 
+    if weighted:
+        # once per block: row-major [TR*K, 128] weights -> K-major scratch
+        # (a leading-dim transpose; lane-crossing casts are not legal)
+        @pl.when(s >= 2)
+        def _():
+            wv = deg_ref[0].reshape(tr, k, 128)
+            wscr[:] = jnp.transpose(wv, (1, 0, 2)).reshape(tr * k, 128)
+
     def reduce_group(i):
         planes = gbuf[slot_r, pl.ds(i * ppg * tr, ppg * tr)]
-        g4 = planes.reshape(ppg, tr, planes.shape[1], 128)
-        dg = deg_ref[0]  # [TR, 1, 128]
-        okf = (
-            (j_iota + i * ppg) < dg[None].astype(jnp.int32)
-        ).astype(g4.dtype)  # [ppg, TR, 1, 128]
-        part = (g4 * okf).astype(jnp.float32).sum(axis=0)  # [TR, wp, 128]
+        if weighted:
+            # same reshape family the v3 weighted kernel uses (leading-dim
+            # splits + lane-dim kept minor + trailing broadcast axis)
+            wg = wscr[pl.ds(i * ppg * tr, ppg * tr)]  # [ppg*TR, 128]
+            f_dim = planes.shape[1] * 128 // b
+            g5 = planes.reshape(ppg, tr, b, f_dim)
+            w4 = wg[:, :b].reshape(ppg, tr, b)[:, :, :, None]
+            part = (
+                (g5.astype(jnp.float32) * w4).sum(axis=0)
+            )  # [TR, b, f]
+        else:
+            g4 = planes.reshape(ppg, tr, planes.shape[1], 128)
+            dg = deg_ref[0]  # [TR, 1, 128]
+            okf = (
+                (j_iota + i * ppg) < dg[None].astype(jnp.int32)
+            ).astype(g4.dtype)  # [ppg, TR, 1, 128]
+            part = (g4 * okf).astype(jnp.float32).sum(axis=0)  # [TR, wp, 128]
 
         @pl.when(i == 0)
         def _():
@@ -1215,9 +1272,14 @@ def _kernel_v7(cnt_ref, src_ref, dst_ref, deg_ref, *rest, tr, k, g, ppg,
 
 def _spmm_v7(
     plan_src, plan_dst, plan_cnt, deg_lane, feats, *, k, tr, n, interpret,
-    ablate="", post_scale=None, b=1,
+    ablate="", post_scale=None, b=1, weights_km=None,
 ):
-    """pallas_call wrapper for the v7 degree-clustered schedule."""
+    """pallas_call wrapper for the v7 degree-clustered schedule.
+
+    ``weights_km``: [N_pad*K, 128] f32 per-slot per-sample weights, slots
+    ROW-major, the b real samples in the leading lanes — selects the
+    weighted reduce; ``deg_lane`` is ignored then.
+    """
     w_width = feats.shape[1]
     wp = w_width // 128
     rows = tr * k
@@ -1229,13 +1291,28 @@ def _spmm_v7(
     while rows % g:
         g //= 2
     has_scale = post_scale is not None
+    weighted = weights_km is not None
     kern = functools.partial(
         _kernel_v7, tr=tr, k=k, g=g, ppg=_PPG, ablate=ablate, b=b,
-        has_scale=has_scale,
+        has_scale=has_scale, weighted=weighted,
     )
     x3 = feats.reshape(feats.shape[0], wp, 128)
     gbuf_bytes = 3 * rows * w_width * feats.dtype.itemsize
     last = nb_blocks - 1
+    if weighted:
+        w_in_spec = pl.BlockSpec(
+            (1, rows, 128),
+            lambda s, c: (jnp.maximum(s - 2, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        w_operand = weights_km.reshape(nb_blocks, rows, 128)
+    else:
+        w_in_spec = pl.BlockSpec(
+            (1, tr, 1, 128),
+            lambda s, c: (jnp.maximum(s - 2, 0), 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        w_operand = deg_lane
     in_specs = [
         pl.BlockSpec((1, 1, rows),
                      lambda s, c: (jnp.minimum(s, last), 0, 0),
@@ -1243,14 +1320,12 @@ def _spmm_v7(
         pl.BlockSpec((1, 1, rows),
                      lambda s, c: (jnp.minimum(s, last), 0, 0),
                      memory_space=pltpu.SMEM),  # plan dst
-        pl.BlockSpec((1, tr, 1, 128),
-                     lambda s, c: (jnp.maximum(s - 2, 0), 0, 0, 0),
-                     memory_space=pltpu.VMEM),  # per-row degrees
+        w_in_spec,  # per-row degrees, or K-major slot weights
     ]
     operands = [
         plan_src.reshape(nb_blocks, 1, rows),
         plan_dst.reshape(nb_blocks, 1, rows),
-        deg_lane,
+        w_operand,
     ]
     if has_scale:
         in_specs.append(
@@ -1274,7 +1349,7 @@ def _spmm_v7(
         scratch_shapes=[
             pltpu.VMEM((3, rows, wp, 128), feats.dtype),
             pltpu.SemaphoreType.DMA((3,)),
-        ],
+        ] + ([pltpu.VMEM((rows, 128), jnp.float32)] if weighted else []),
     )
     return pl.pallas_call(
         kern,
@@ -1428,18 +1503,41 @@ def batched_gather_sum(
     b: int,
     interpret: Optional[bool] = None,
     plan: Optional[CompactPlan] = None,
+    w_slot: Optional[jax.Array] = None,
 ) -> jax.Array:
     """out[v] = sum over in-edges e of w[e, :] * feats[src_e] (broadcast over
-    F within each sample's block) — the batched layer>=2 aggregation."""
+    F within each sample's block) — the batched layer>=2 aggregation.
+
+    ``w_slot``: optional pre-built ``[N, K, B]`` slot-layout weights (zero
+    on invalid slots).  Engines that derive weights from masks via the
+    table (``ops.ell.gcn_coeffs_from_*``) should pass this — the
+    ``edge_weight[table.eid]`` slot re-index is an XLA gather of millions
+    of B-wide rows, measured 20 ms (B=16) to 189 ms (B=48) at the 100k/1M
+    workload, while a coeff-tensor transpose into slot layout costs ~2 ms.
+    """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if w_slot is None:
+        w_slot = edge_weight[table.eid] * table.valid[:, :, None]
+    if plan is None and w_slot.shape[2] == b:
+        # v7w: fused weighted reduce (the v3 weighted path ran issue,
+        # reduce and waits as three serial regions) — 134 -> 2x+ GB/s at
+        # the production width (benchmarks/exp_spmm_v7w.py)
+        plan7 = plan_for_table(
+            table, feats.shape[1], feats.dtype.itemsize, mode="v7"
+        )
+        if plan7 is not None:
+            return spmm_ell_pallas(
+                plan7.src, plan7.dst, plan7.cnt, w_slot, feats,
+                k=table.k, tr=plan7.tr, b=b, interpret=interpret,
+                sched="v7",
+            )
     if plan is None:
         plan = plan_for_table(table, feats.shape[1], feats.dtype.itemsize)
     if plan is None:
         raise ValueError(
             f"K={table.k} too large for the VMEM gather scratch"
         )
-    w_slot = edge_weight[table.eid] * table.valid[:, :, None]
     return spmm_ell_pallas(
         plan.src, plan.dst, plan.cnt, w_slot, feats,
         k=table.k, tr=plan.tr, b=b, interpret=interpret,
