@@ -148,12 +148,14 @@ def train_model_repeats(
     """
     t, m_used, width = masks.shape
     epochs = m_used // batch_size
+    auto_chunk = chunk_size is None
     if chunk_size is None:
         chunk_size = _default_chunk(epochs, batch_size)
 
     flat = masks.reshape(t * m_used, width)
     outputs = model.perturbed_query_outputs(
-        graph, flat, problem, query, chunk_size=chunk_size
+        graph, flat, problem, query, chunk_size=chunk_size,
+        auto_chunk=auto_chunk,
     ).reshape(t, m_used)
     kernels = jax.vmap(
         lambda mk: shap_kernel(mk, num_valid_columns=num_elements)
@@ -201,6 +203,7 @@ def train_model(
     m_used, width = mask.shape
     epochs = m_used // batch_size
 
+    auto_chunk = chunk_size is None
     if chunk_size is None:
         c = 1
         for cand in range(epochs, 0, -1):
@@ -210,7 +213,8 @@ def train_model(
         chunk_size = c * batch_size
 
     outputs = model.perturbed_query_outputs(
-        graph, mask, problem, query, chunk_size=chunk_size
+        graph, mask, problem, query, chunk_size=chunk_size,
+        auto_chunk=auto_chunk,
     )  # [M]
     kernels = shap_kernel(mask, num_valid_columns=num_elements)  # [M]
 

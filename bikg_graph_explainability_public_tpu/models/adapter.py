@@ -84,6 +84,7 @@ class Model:
         problem: str,
         query: Optional[int],
         chunk_size: int = 128,
+        auto_chunk: bool = True,
     ) -> jax.Array:
         """Outputs of the black box for every perturbation row.
 
@@ -97,7 +98,9 @@ class Model:
         """
         if self.fast and isinstance(self.model_def, GCNNodeModel):
             engine = self._fast_engine(graph)
-            return engine.query_outputs(masks, query, problem, chunk_size)
+            return engine.query_outputs(
+                masks, query, problem, chunk_size, auto_chunk=auto_chunk
+            )
         if self.fast and isinstance(self.model_def, HeteroGNN):
             engine = self._fast_hetero_engine(graph)
             if engine is not None:

@@ -614,8 +614,14 @@ class FastBatchedGCN:
         query: Optional[int],
         problem: str = "node_prediction",
         chunk_size: int = 128,
+        auto_chunk: bool = True,
     ) -> jax.Array:
-        """[B] query predictions (or pooled graph predictions)."""
+        """[B] query predictions (or pooled graph predictions).
+
+        ``auto_chunk=False`` pins the restricted path to exactly
+        ``chunk_size`` rows per compiled step — callers that set an explicit
+        ``forward_chunk`` keep their memory bound even if the byte estimate
+        would permit growth."""
         is_edge = "edge" in problem
         is_graph = "graph" in problem
         if self.restrict and not is_graph and isinstance(query, (int, np.integer)):
@@ -638,18 +644,20 @@ class FastBatchedGCN:
                 # estimated per-chunk footprint stays under budget, keeping
                 # the equal-chunks contract (m_total % chunk == 0).
                 chunk_r = chunk_size
-                cap = max(
-                    1, _RESTRICT_CHUNK_BYTES // self._plan_row_bytes(
-                        plan, masks.shape[1], is_edge
+                if auto_chunk:
+                    cap = max(
+                        1, _RESTRICT_CHUNK_BYTES // self._plan_row_bytes(
+                            plan, masks.shape[1], is_edge
+                        )
                     )
-                )
-                if m_total <= cap:
-                    chunk_r = m_total
-                else:
-                    while (
-                        chunk_r * 2 <= cap and m_total % (chunk_r * 2) == 0
-                    ):
-                        chunk_r *= 2
+                    if m_total <= cap:
+                        chunk_r = m_total
+                    else:
+                        while (
+                            chunk_r * 2 <= cap
+                            and m_total % (chunk_r * 2) == 0
+                        ):
+                            chunk_r *= 2
                 if m_total % chunk_r == 0 and m_total > chunk_r:
                     chunks = masks.reshape(
                         m_total // chunk_r, chunk_r, masks.shape[1]

@@ -282,7 +282,11 @@ class GATv2Conv:
         if self.use_bias:
             lin_l["bias"] = jnp.zeros((h * c,), jnp.float32)
         if self.share_weights:
-            lin_r = lin_l
+            # copy (not alias) so pytree rebuilds can't silently unshare;
+            # apply() reads lin_l for both sides when share_weights is set,
+            # which keeps the contract under any transformation while
+            # preserving the PyG state-dict key layout
+            lin_r = {k: jnp.array(v) for k, v in lin_l.items()}
         else:
             lin_r = {"weight": glorot(ks[1], (h * c, self.in_dst))}
             if self.use_bias:
@@ -315,7 +319,11 @@ class GATv2Conv:
 
         xd_in = x if x_dst is None else x_dst
         xl = lin(params["lin_l"], x, self.in_src)
-        xr = lin(params["lin_r"], xd_in, self.in_dst)
+        # share_weights: the dst projection IS lin_l (copied at init only to
+        # keep the PyG key layout); reading lin_l here keeps them shared even
+        # after optimizer/tree_map rebuilds of the params pytree
+        lin_r_p = params["lin_l"] if self.share_weights else params["lin_r"]
+        xr = lin(lin_r_p, xd_in, self.in_dst)
         att = params["att"]  # [1, H, C]
         pre = xl[senders] + xr[receivers]  # [E, H, C]
         logits = (jax.nn.leaky_relu(pre, self.negative_slope) * att).sum(-1)
