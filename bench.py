@@ -748,6 +748,13 @@ def main():
         "mfu_restricted": (
             round(mfu_restricted, 4) if mfu_restricted else None
         ),
+        # the restricted path is BANDWIDTH-bound: at this workload's
+        # arithmetic intensity (43 fl/B) the achievable MFU caps at 0.179
+        # and the path runs at 98-99% of the HBM roofline — measured
+        # decomposition in benchmarks/exp_mfu_restricted.py, published in
+        # docs/architecture.md ("Why mfu_restricted ~= 0.17 is the
+        # roofline")
+        "mfu_restricted_roofline": 0.179,
         "mfu_unrestricted": (
             round(mfu_unrestricted, 4) if mfu_unrestricted else None
         ),
