@@ -127,25 +127,38 @@ class FastBatchedHeteroGCN:
     #: host numpy
     DENSE_CAP = 4096
 
-    #: the ELL tier's fixed internal chunk width (masked rows per program
-    #: step).  Fixed so the per-(relation, width) SpMM plans can be warmed
-    #: at init; 32 puts the blocked-ELL kernel at 16 KB rows — its measured
-    #: sweet spot (docs/spmm_kernel.md)
-    _ELL_CHUNK = 32
+    #: the ELL tier's PREFERRED internal chunk width (masked rows per
+    #: program step).  Wider rows amortise the v7 kernel's DMA issue cost
+    #: (the homo fullgraph optimum is 48 = 24 KB rows, round-5 chunk
+    #: sweep), but TR*K must fit the kernel's VMEM gather scratch for
+    #: every relation's table — ``_ell_setup`` steps down by 8 until all
+    #: (relation, layer-width) plans fit and stores the result in
+    #: ``_ell_chunk_eff``
+    _ELL_CHUNK = 48
+
+    #: HLO-temp budget for the layer-1 fused-einsum formulation (the
+    #: in-jit slot gather ``xw0_stacked[nbr_all]`` materialises an
+    #: [N, K_tot, C1] temp).  Within budget, layer 1 aggregates as the
+    #: homo engine does — batch-shared slot gather + MXU einsum reading
+    #: ~K*C1 bytes per node instead of a broadcast [N, B*C1] SpMM reading
+    #: B*C1 per *edge slot* (measured 98 -> ~20 ms/chunk at the fullgraph
+    #: bench).  Beyond budget the broadcast+SpMM formulation still serves.
+    _G0_BUDGET_BYTES = 6 << 30
 
     def _ell_query_outputs(
         self, masks: jax.Array, query, problem: str
     ) -> jax.Array:
         """Eager ELL-tier entry: internally jitted, operands as arguments.
 
-        Chunks the mask batch to ``_ELL_CHUNK`` rows (zero-padding the
+        Chunks the mask batch to ``_ell_chunk_eff`` rows (zero-padding the
         tail — mask rows are independent) and runs one compiled
         ``lax.map`` program whose big operands (:meth:`_ops`) cross the
         jit boundary as runtime inputs rather than inline HLO literals.
         """
         is_graph = "graph" in problem
         m_total = masks.shape[0]
-        c = min(self._ELL_CHUNK, m_total)
+        self._ell_setup()
+        c = min(self._ell_chunk_eff, m_total)
         pad = (-m_total) % c
         if pad:
             masks = jnp.concatenate(
@@ -207,29 +220,27 @@ class FastBatchedHeteroGCN:
         on_device = jnp.asarray if self._ell_eager else np.asarray
         self._ell_plans: dict = {}
         from ..ops.spmm_pallas import (
+            _PPG,
             _pick_tr,
             _static_weights,
             build_compact_plan,
         )
         from ..ops.spmm_pallas import MIN_PALLAS_WIDTH
 
-        # distinct SpMM row widths at the tier's fixed chunk (every layer
-        # aggregates through the separable kernel, layer 1 included)
-        widths = sorted(
-            {
-                self._ELL_CHUNK * conv.out_features
-                for layer in self.model_def.conv_layers
-                for conv in layer.values()
-            }
-        )
+        n = graph.n_pad
+        g0_bytes = 0
+        raw_tables = []
         for ri in range(len(self.model_def.relations)):
             sel = keep_ns & (et == ri)
             table = build_neighbor_table_edges(
-                graph.n_pad, snd[sel], rcv[sel], eids[sel], to_jax=False
+                n, snd[sel], rcv[sel], eids[sel], to_jax=False
             )
-            _ptr, col, pe = native.build_csr(
-                graph.n_pad, snd[sel], rcv[sel]
+            raw_tables.append(table)
+            g0_bytes += (
+                table.nbr.size * self.xw0.shape[-1]
+                * jnp.dtype(self.dtype).itemsize
             )
+            _ptr, col, pe = native.build_csr(n, snd[sel], rcv[sel])
             snds_s.append(on_device(col))
             rcvs_s.append(on_device(rcv[sel][pe]))
             # slot eid -> position in the relation's receiver-sorted order
@@ -237,35 +248,138 @@ class FastBatchedHeteroGCN:
             inv = np.zeros(graph.e_pad, np.int32)
             inv[eids[sel][pe]] = np.arange(len(pe), dtype=np.int32)
             eid_sorted = inv[np.asarray(table.eid)]
-            if self._ell_eager:
-                # warm the SpMM plans + static slot weights OUTSIDE any
-                # trace and keep them device-side: plan tables are
-                # multi-MB, and in-trace numpy falls back to inline HLO
-                # literals that blow the remote compiler's body limit
-                nbr_np = np.asarray(table.nbr)
-                valid_np = np.asarray(table.valid)
-                itemsize = jnp.dtype(self.dtype).itemsize
-                for w_width in widths:
-                    if w_width < MIN_PALLAS_WIDTH:
-                        continue
-                    tr = _pick_tr(table.k, w_width * itemsize)
-                    if tr <= 0 or f"{ri}_{tr}" in self._ell_plans:
-                        continue
-                    plan = build_compact_plan(nbr_np, valid_np, tr)
-                    self._ell_plans[f"{ri}_{tr}"] = {
-                        "src": jnp.asarray(plan.src),
-                        "dst": jnp.asarray(plan.dst),
-                        "cnt": jnp.asarray(plan.cnt),
-                        "w2": jnp.asarray(_static_weights(valid_np, tr)),
-                        "tr": tr,
-                    }
-            table = table._replace(
+            tables.append(table)
+            tables_s.append(eid_sorted)
+        # aggregation operand dtype: bf16 on TPU — the tier's einsums
+        # already run bf16 MXU passes there (XLA default f32 matmul
+        # precision), so casting the SpMM/gather operands too keeps the
+        # same numerics while halving slot-read bytes and unlocking the
+        # full preferred chunk; accumulation stays f32 everywhere
+        # (preferred_element_type / the kernel's f32 accumulators)
+        self._agg_dtype = (
+            jnp.bfloat16
+            if self._ell_eager and jax.default_backend() == "tpu"
+            else self.dtype
+        )
+        # effective chunk: widest multiple-of-8 row count <= _ELL_CHUNK
+        # whose (TR, K) gather scratch fits the kernel's VMEM budget for
+        # EVERY relation table at every layer width
+        itemsize = jnp.dtype(self._agg_dtype).itemsize
+        out_widths = sorted(
+            {
+                conv.out_features
+                for layer in self.model_def.conv_layers
+                for conv in layer.values()
+            }
+        )
+        chunk = self._ELL_CHUNK
+        while chunk > 8 and any(
+            _pick_tr(t.nbr.shape[1], chunk * c * itemsize) <= 0
+            for t in raw_tables
+            for c in out_widths
+            if chunk * c >= MIN_PALLAS_WIDTH
+        ):
+            chunk -= 8
+        self._ell_chunk_eff = chunk
+        widths = sorted({chunk * c for c in out_widths})
+        for ri, table in enumerate(raw_tables):
+            if not self._ell_eager:
+                break
+            # warm the SpMM plans + static slot weights OUTSIDE any
+            # trace and keep them device-side: plan tables are
+            # multi-MB, and in-trace numpy falls back to inline HLO
+            # literals that blow the remote compiler's body limit
+            nbr_np = np.asarray(table.nbr)
+            valid_np = np.asarray(table.valid)
+            # v7 (K-major scratch, per-block reduce groups) is the
+            # production schedule; K is padded to a multiple of 8 by
+            # the table builder so the group constraint always holds
+            mode = "v7" if table.k % _PPG == 0 else "v3"
+            for w_width in widths:
+                if w_width < MIN_PALLAS_WIDTH:
+                    continue
+                tr = _pick_tr(table.k, w_width * itemsize)
+                if tr <= 0 or f"{ri}_{tr}" in self._ell_plans:
+                    continue
+                plan = build_compact_plan(nbr_np, valid_np, tr, mode=mode)
+                self._ell_plans[f"{ri}_{tr}"] = {
+                    "src": jnp.asarray(plan.src),
+                    "dst": jnp.asarray(plan.dst),
+                    "cnt": jnp.asarray(plan.cnt),
+                    "w2": jnp.asarray(_static_weights(valid_np, tr)),
+                    "tr": tr,
+                    "mode": mode,
+                }
+        for ri, table in enumerate(raw_tables):
+            tables[ri] = table._replace(
                 nbr=on_device(table.nbr),
                 valid=on_device(table.valid),
                 eid=on_device(table.eid),
             )
-            tables.append(table)
-            tables_s.append(table._replace(eid=on_device(eid_sorted)))
+            tables_s[ri] = tables[ri]._replace(
+                eid=on_device(tables_s[ri])
+            )
+        # layer-1 einsum layout (within budget): all relations' slot tables
+        # concatenated on the K axis, neighbour ids offset by ri*n; the
+        # batch-shared slot gather g0_all[v,j,:] = xw0_r(j)[nbr_r(j)[v],:]
+        # is RESIDENT (built once at init in the aggregation dtype — an
+        # in-jit gather of it re-measured 50+ ms/chunk on 512-B rows), so
+        # layer 1 is one [N,K_tot,B] x [N,K_tot,C1] MXU einsum with the
+        # per-relation destination scale folded into the coefficients and
+        # ONE output write — vs three broadcast [N, B*C1] SpMMs (98
+        # ms/chunk at the fullgraph bench, benchmarks/exp_hetero_ell.py)
+        self._nbr_all = None
+        self._valid_all = None
+        self._g0_all = None
+        if g0_bytes <= self._G0_BUDGET_BYTES and raw_tables:
+            nbr_all_np = np.concatenate(
+                [
+                    np.asarray(t.nbr, np.int32) + ri * n
+                    for ri, t in enumerate(raw_tables)
+                ],
+                axis=1,
+            )
+            self._nbr_all = on_device(nbr_all_np)
+            self._valid_all = on_device(
+                np.concatenate(
+                    [np.asarray(t.valid) for t in raw_tables], axis=1
+                ).astype(np.float32)
+            )
+            xw0_flat = np.asarray(self.xw0).reshape(-1, self.xw0.shape[-1])
+            # R trailing "self slots" per row: slot K_tot+r reads xw0_r[v]
+            # and its coefficient is the self-loop weight scope_r*dis_r^2,
+            # so the one einsum covers aggregation AND self terms (no
+            # separate [N,B,C]-wide selfterm contraction + add)
+            self_cols = np.stack(
+                [
+                    np.arange(n, dtype=np.int32) + ri * n
+                    for ri in range(len(raw_tables))
+                ],
+                axis=1,
+            )  # [N, R]
+            g0_all_np = xw0_flat[
+                np.concatenate([nbr_all_np, self_cols], axis=1)
+            ]  # [N, K_tot + R, C1]
+            self._g0_all = on_device(g0_all_np)
+            if self._agg_dtype != self.dtype:
+                self._g0_all = (
+                    jnp.asarray(self._g0_all).astype(self._agg_dtype)
+                    if self._ell_eager
+                    else g0_all_np
+                )
+        # fused degree COO: all relations' receiver-sorted edges with
+        # per-relation segment offsets — ONE gather + segment_sum computes
+        # every relation's masked neighbour count
+        self._deg_snds = on_device(
+            np.concatenate([np.asarray(s) for s in snds_s])
+            if snds_s else np.zeros(0, np.int32)
+        )
+        self._deg_rcvs = on_device(
+            np.concatenate(
+                [np.asarray(r) + ri * n for ri, r in enumerate(rcvs_s)]
+            )
+            if rcvs_s else np.zeros(0, np.int32)
+        )
         self._ell = (tables, snds_s, rcvs_s, tables_s)
         return self._ell
 
@@ -286,6 +400,11 @@ class FastBatchedHeteroGCN:
             "valid": tuple(t.valid for t in tables),
             "snds": tuple(snds_s),
             "rcvs": tuple(rcvs_s),
+            "nbr_all": self._nbr_all,
+            "valid_all": self._valid_all,
+            "g0_all": self._g0_all,
+            "deg_snds": self._deg_snds,
+            "deg_rcvs": self._deg_rcvs,
             "plans": {
                 k: {kk: v[kk] for kk in ("src", "dst", "cnt", "w2")}
                 for k, v in self._ell_plans.items()
@@ -294,7 +413,8 @@ class FastBatchedHeteroGCN:
         }
 
     def batch_node_outputs_ell(
-        self, masks: jax.Array, ops: Optional[dict] = None
+        self, masks: jax.Array, ops: Optional[dict] = None,
+        _upto: Optional[str] = None,
     ) -> jax.Array:
         """All-node outputs for every mask row — ELL tier, **[N, B, out]**.
 
@@ -313,7 +433,8 @@ class FastBatchedHeteroGCN:
 
         ``ops``: the big-operand pytree (:meth:`_ops`) — the internally
         jitted entry passes it as a traced argument; direct callers may
-        omit it.
+        omit it.  ``_upto``: profiling probe ("deg" | "layer1") — return
+        the named phase's output early (benchmarks/exp_hetero_ell.py).
         """
         from ..ops.spmm import gather_sum_batched_separable
         from ..ops.spmm_pallas import _pick_tr
@@ -323,34 +444,43 @@ class FastBatchedHeteroGCN:
             ops = self._ops()
         m = masks.astype(jnp.float32)  # [B, N]
         b, n = m.shape
-        itemsize = jnp.dtype(self.dtype).itemsize
+        nrel = len(ops["nbr"])
+        agg_dtype = self._agg_dtype
+        itemsize = jnp.dtype(agg_dtype).itemsize
         scope = ops["scope"]
         xw0 = ops["xw0"]
 
         m_t = jnp.transpose(m)  # [N, B]
+        # all relations' masked neighbour counts in ONE gather + segment
+        # sum (receivers carry per-relation offsets ri*n; each relation's
+        # block is sorted, and blocks ascend, so the whole stream is)
+        cnt_all = jax.ops.segment_sum(
+            m_t[ops["deg_snds"]], ops["deg_rcvs"], num_segments=nrel * n,
+            indices_are_sorted=True,
+        ).reshape(nrel, n, b)
         dis_t_all, a_bn_all = [], []
-        for ri in range(len(ops["nbr"])):
-            cnt_t = jax.ops.segment_sum(
-                m_t[ops["snds"][ri]], ops["rcvs"][ri], num_segments=n,
-                indices_are_sorted=True,
-            )  # [N, B]
-            deg_t = scope[ri][:, None] + m_t * cnt_t
+        for ri in range(nrel):
+            deg_t = scope[ri][:, None] + m_t * cnt_all[ri]
             dis_t = jnp.where(
                 deg_t > 0, jax.lax.rsqrt(jnp.maximum(deg_t, 1e-30)), 0.0
             )
             dis_t_all.append(dis_t)
             a_bn_all.append(jnp.transpose(m_t * dis_t))  # [B, N] (small)
+        if _upto == "deg":
+            return sum(d.sum(0) for d in dis_t_all)
 
         def rel_spmm(ri, feats_bc, f_dim):
             from ..ops.spmm_pallas import CompactPlan
 
             tr = _pick_tr(ops["nbr"][ri].shape[1], b * f_dim * itemsize)
-            warmed = ops["plans"].get(f"{ri}_{tr}")
+            key = f"{ri}_{tr}"
+            warmed = ops["plans"].get(key)
             plan = static_w = None
             if warmed is not None:
                 plan = CompactPlan(
                     src=warmed["src"], dst=warmed["dst"],
                     cnt=warmed["cnt"], tr=tr,
+                    mode=self._ell_plans[key]["mode"],
                 )
                 static_w = warmed["w2"]
             return gather_sum_batched_separable(
@@ -358,46 +488,119 @@ class FastBatchedHeteroGCN:
                 n, b, table=tables_s[ri], plan=plan, static_w=static_w,
             )
 
-        # layer 1: the batch-shared transformed features broadcast fuses
-        # into the wrapper's scale multiply — no [B, N, K] coefficients
+        # layer 1: batch-shared transformed features.  In-budget engines
+        # fuse ALL relations into ONE [N,K_tot,B] x [N,K_tot,C1] MXU
+        # einsum: slot tables are K-concatenated with ri*n offsets, so one
+        # gather against the relation-stacked xw0 / mask-scale arrays
+        # yields every relation's slots, and the per-relation destination
+        # scale folds into the coefficients (a_r[v]*valid*a_r[nbr]).  The
+        # self/bias terms are small rank-R contractions fused into the
+        # output add.  Over budget, the broadcast SpMM per relation
+        # serves (same math).
         layer0 = self.model_def.conv_layers[0]
-        h = None  # [N, B, C]
-        for ri, (rel, conv) in enumerate(layer0.items()):
-            p = self.params["conv"][0]["__".join(rel)]
-            dis_t = dis_t_all[ri]
-            self_w_t = scope[ri][:, None] * dis_t * dis_t  # [N, B]
-            c1 = xw0[ri].shape[-1]
-            feats_bc = jnp.broadcast_to(
-                xw0[ri][:, None, :], (n, b, c1)
-            ).reshape(n, b * c1)
-            agg = rel_spmm(ri, feats_bc, c1).reshape(n, b, c1)
-            contrib = agg + self_w_t[:, :, None] * xw0[ri][:, None, :].astype(
-                jnp.float32
+        l0_params = [
+            self.params["conv"][0]["__".join(rel)] for rel in layer0
+        ]
+        self_w_all = jnp.stack(
+            [
+                scope[ri][:, None] * dis_t_all[ri] * dis_t_all[ri]
+                for ri in range(nrel)
+            ]
+        )  # [R, N, B]
+        if ops.get("nbr_all") is not None:
+            a_stack = jnp.stack(
+                [m_t * dis_t_all[ri] for ri in range(nrel)]
+            ).astype(agg_dtype)  # [R, N, B]
+            a_flat = a_stack.reshape(nrel * n, b)
+            nbr_all = ops["nbr_all"]  # [N, K_tot] (ids offset by ri*n)
+            # dest scale per slot: relation of slot j is j // K_r blocks —
+            # expand a_stack over each relation's K block
+            dest = jnp.concatenate(
+                [
+                    jnp.broadcast_to(
+                        a_stack[ri][:, None, :],
+                        (n, ops["nbr"][ri].shape[1], b),
+                    )
+                    for ri in range(nrel)
+                ],
+                axis=1,
+            )  # [N, K_tot, B]
+            coeff_nbr = (
+                ops["valid_all"].astype(agg_dtype)[:, :, None]
+                * dest * a_flat[nbr_all]
+            )  # [N, K_tot, B]
+            # self slots (trailing R columns of g0_all): coefficient =
+            # scope_r * dis_r^2 — the einsum then covers the self terms
+            coeff_self = jnp.moveaxis(self_w_all, 0, 1).astype(agg_dtype)
+            coeff = jnp.concatenate([coeff_nbr, coeff_self], axis=1)
+            h = jnp.einsum(
+                "nkb,nkc->nbc", coeff,
+                ops["g0_all"].astype(agg_dtype),
+                preferred_element_type=jnp.float32,
             )
-            if "bias" in p:
-                contrib = contrib + p["bias"] * scope[ri][:, None, None]
-            h = contrib if h is None else h + contrib
-        h = relu(h)
+            if any("bias" in p for p in l0_params):
+                bias_nc = sum(
+                    scope[ri][:, None] * p["bias"][None, :]
+                    for ri, p in enumerate(l0_params)
+                    if "bias" in p
+                )  # [N, C] — tiny; one broadcast add instead of R
+                h = h + bias_nc[:, None, :]
+            h = relu(h)
+        else:
+            h = None  # [N, B, C]
+            for ri, p in enumerate(l0_params):
+                self_w_t = self_w_all[ri]  # [N, B]
+                c1 = xw0[ri].shape[-1]
+                feats_bc = jnp.broadcast_to(
+                    xw0[ri].astype(agg_dtype)[:, None, :], (n, b, c1)
+                ).reshape(n, b * c1)
+                agg = rel_spmm(ri, feats_bc, c1).reshape(n, b, c1)
+                contrib = agg + self_w_t[:, :, None] * xw0[ri][
+                    :, None, :
+                ].astype(jnp.float32)
+                if "bias" in p:
+                    contrib = contrib + p["bias"] * scope[ri][:, None, None]
+                h = contrib if h is None else h + contrib
+            h = relu(h)
+        # inter-layer activations live in the aggregation dtype (identity
+        # on CPU/f32 engines): the layer-2 matmuls read them as bf16 MXU
+        # operands anyway, and the f32 slab was the OOM margin at chunk 48
+        h = h.astype(agg_dtype)
+        if _upto == "layer1":
+            return h.astype(jnp.float32).sum((0, 2))
 
         for li, layer in enumerate(self.model_def.conv_layers[1:], start=1):
             out = None
+            # serialize the per-relation aggregations: without the scalar
+            # dependence XLA schedules all R SpMM custom-calls before any
+            # consumer, holding R f32 [N, B*C] outputs (+ layout copies)
+            # live at once — 2.3 GB each at chunk 48, the OOM margin
+            dep = jnp.zeros((), agg_dtype)
             for ri, (rel, conv) in enumerate(layer.items()):
                 p = self.params["conv"][li]["__".join(rel)]
+                # hw lands directly in the aggregation dtype (MXU output
+                # cast; accumulation stays f32 in-unit) — an f32
+                # intermediate + cast held 3 x 2.3 GB live at chunk 48
                 hw = jnp.einsum(
                     "nbc,dc->nbd", h[..., : conv.in_features], p["weight"],
-                    preferred_element_type=jnp.float32,
-                )  # [N, B, C]
+                    preferred_element_type=agg_dtype,
+                )  # [N, B, C] agg dtype
+                hw = hw + dep  # no-op value; orders relation ri after ri-1
                 dis_t = dis_t_all[ri]
                 f_dim = hw.shape[-1]
                 agg = rel_spmm(
-                    ri, hw.astype(self.dtype).reshape(n, b * f_dim), f_dim
+                    ri, hw.reshape(n, b * f_dim), f_dim
                 ).reshape(n, b, f_dim)
                 self_w_t = scope[ri][:, None] * dis_t * dis_t
                 contrib = agg + self_w_t[:, :, None] * hw
                 if "bias" in p:
                     contrib = contrib + p["bias"] * scope[ri][:, None, None]
                 out = contrib if out is None else out + contrib
-            h = relu(out)
+                # always-0 at runtime but not constant-foldable (a *0 dep
+                # gets folded away); reading the ACCUMULATED out means
+                # relation ri+1 starts only after ri's buffers are dead
+                dep = (out[0, 0, 0] > 1e30).astype(agg_dtype)
+            h = relu(out).astype(agg_dtype)
         return h
 
     @property
