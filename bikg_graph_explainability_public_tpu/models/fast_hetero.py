@@ -228,21 +228,54 @@ class FastBatchedHeteroGCN:
         from ..ops.spmm_pallas import MIN_PALLAS_WIDTH
 
         n = graph.n_pad
+        # type blocks: hetero_to_homo lays node types out contiguously, so
+        # each relation's OUTPUT rows (= its destination type's block) and
+        # its hw slice (the src∪dst row range) can scope to sub-ranges of
+        # [0, n) — per layer the SpMM output rows shrink from R*N to
+        # sum_r |dst_r| and the hw transforms to sum_r |src_r ∪ dst_r|.
+        # Falls back to full-range scoping when a type's rows are not
+        # contiguous (hand-built graphs).
+        nt_host = hv.node_type
+        nm_host = hv.node_mask
+        type_ranges = {}
+        contig = True
+        for t in range(len(self.model_def.node_type_names)):
+            idx = np.nonzero((nt_host == t) & nm_host)[0]
+            if idx.size == 0:
+                type_ranges[t] = None
+                continue
+            if int(idx[-1]) - int(idx[0]) + 1 != idx.size:
+                contig = False
+                break
+            type_ranges[t] = (int(idx[0]), int(idx[-1]) + 1)
+        self._rel_ranges = []  # per relation: (lo, hi, d0, d1)
         g0_bytes = 0
         raw_tables = []
-        for ri in range(len(self.model_def.relations)):
+        for ri, rel in enumerate(self.model_def.relations):
+            src_t = self.model_def.node_type_names.index(rel[0])
+            dst_t = self.model_def.node_type_names.index(rel[-1])
+            if contig and type_ranges.get(dst_t) and type_ranges.get(src_t):
+                d0, d1 = type_ranges[dst_t]
+                s0, s1 = type_ranges[src_t]
+                lo, hi = min(s0, d0), max(s1, d1)
+            else:
+                lo, hi, d0, d1 = 0, n, 0, n
+            self._rel_ranges.append((lo, hi, d0, d1))
             sel = keep_ns & (et == ri)
             table = build_neighbor_table_edges(
-                n, snd[sel], rcv[sel], eids[sel], to_jax=False
+                d1 - d0, snd[sel] - lo, rcv[sel] - d0, eids[sel],
+                to_jax=False,
             )
             raw_tables.append(table)
             g0_bytes += (
                 table.nbr.size * self.xw0.shape[-1]
                 * jnp.dtype(self.dtype).itemsize
             )
-            _ptr, col, pe = native.build_csr(n, snd[sel], rcv[sel])
+            _ptr, col, pe = native.build_csr(
+                d1 - d0, snd[sel] - lo, rcv[sel] - d0
+            )
             snds_s.append(on_device(col))
-            rcvs_s.append(on_device(rcv[sel][pe]))
+            rcvs_s.append(on_device(rcv[sel][pe] - d0))
             # slot eid -> position in the relation's receiver-sorted order
             # (the pallas weighted path gathers [E_r, B] weights by slot)
             inv = np.zeros(graph.e_pad, np.int32)
@@ -332,19 +365,23 @@ class FastBatchedHeteroGCN:
         self._valid_all = None
         self._g0_all = None
         if g0_bytes <= self._G0_BUDGET_BYTES and raw_tables:
-            nbr_all_np = np.concatenate(
-                [
-                    np.asarray(t.nbr, np.int32) + ri * n
-                    for ri, t in enumerate(raw_tables)
-                ],
-                axis=1,
-            )
+            # scoped tables live in per-relation row spaces — embed each
+            # back into full-N rows (zero/invalid outside its dst block)
+            # and convert union-local sources to global (+lo) before the
+            # ri*n stacking offset
+            embeds, valids = [], []
+            for ri, t in enumerate(raw_tables):
+                lo, hi, d0, d1 = self._rel_ranges[ri]
+                k_r = t.nbr.shape[1]
+                nf = np.zeros((n, k_r), np.int32)
+                vf = np.zeros((n, k_r), np.float32)
+                nf[d0:d1] = np.asarray(t.nbr, np.int32) + lo + ri * n
+                vf[d0:d1] = np.asarray(t.valid)
+                embeds.append(nf)
+                valids.append(vf)
+            nbr_all_np = np.concatenate(embeds, axis=1)
             self._nbr_all = on_device(nbr_all_np)
-            self._valid_all = on_device(
-                np.concatenate(
-                    [np.asarray(t.valid) for t in raw_tables], axis=1
-                ).astype(np.float32)
-            )
+            self._valid_all = on_device(np.concatenate(valids, axis=1))
             xw0_flat = np.asarray(self.xw0).reshape(-1, self.xw0.shape[-1])
             # R trailing "self slots" per row: slot K_tot+r reads xw0_r[v]
             # and its coefficient is the self-loop weight scope_r*dis_r^2,
@@ -369,14 +406,23 @@ class FastBatchedHeteroGCN:
                 )
         # fused degree COO: all relations' receiver-sorted edges with
         # per-relation segment offsets — ONE gather + segment_sum computes
-        # every relation's masked neighbour count
+        # every relation's masked neighbour count.  snds/rcvs are stored
+        # scoped (union-/dst-local); restore global ids here
         self._deg_snds = on_device(
-            np.concatenate([np.asarray(s) for s in snds_s])
+            np.concatenate(
+                [
+                    np.asarray(s) + self._rel_ranges[ri][0]
+                    for ri, s in enumerate(snds_s)
+                ]
+            )
             if snds_s else np.zeros(0, np.int32)
         )
         self._deg_rcvs = on_device(
             np.concatenate(
-                [np.asarray(r) + ri * n for ri, r in enumerate(rcvs_s)]
+                [
+                    np.asarray(r) + self._rel_ranges[ri][2] + ri * n
+                    for ri, r in enumerate(rcvs_s)
+                ]
             )
             if rcvs_s else np.zeros(0, np.int32)
         )
@@ -470,8 +516,11 @@ class FastBatchedHeteroGCN:
             return sum(d.sum(0) for d in dis_t_all)
 
         def rel_spmm(ri, feats_bc, f_dim):
+            """Type-scoped separable SpMM: feats over the relation's
+            src∪dst row union, output over its dst block only."""
             from ..ops.spmm_pallas import CompactPlan
 
+            lo, hi, d0, d1 = self._rel_ranges[ri]
             tr = _pick_tr(ops["nbr"][ri].shape[1], b * f_dim * itemsize)
             key = f"{ri}_{tr}"
             warmed = ops["plans"].get(key)
@@ -484,8 +533,28 @@ class FastBatchedHeteroGCN:
                 )
                 static_w = warmed["w2"]
             return gather_sum_batched_separable(
-                a_bn_all[ri], feats_bc, ops["snds"][ri], ops["rcvs"][ri],
-                n, b, table=tables_s[ri], plan=plan, static_w=static_w,
+                a_bn_all[ri][:, lo:hi], feats_bc,
+                ops["snds"][ri], ops["rcvs"][ri],
+                d1 - d0, b, table=tables_s[ri], plan=plan,
+                static_w=static_w,
+                post_a_bn=a_bn_all[ri][:, d0:d1],
+                drop_self_loops=False,
+            )
+
+        def assemble(piece, width, dtype):
+            """Place per-dst-block [rows, B, width] pieces into [N, B,
+            width] full rows (zeros between/after blocks)."""
+            segs, pos = [], 0
+            for (d0, d1) in sorted(piece):
+                if d0 > pos:
+                    segs.append(jnp.zeros((d0 - pos, b, width), dtype))
+                segs.append(piece[(d0, d1)].astype(dtype))
+                pos = d1
+            if pos < n:
+                segs.append(jnp.zeros((n - pos, b, width), dtype))
+            return (
+                segs[0] if len(segs) == 1
+                else jnp.concatenate(segs, axis=0)
             )
 
         # layer 1: batch-shared transformed features.  In-budget engines
@@ -547,21 +616,27 @@ class FastBatchedHeteroGCN:
                 h = h + bias_nc[:, None, :]
             h = relu(h)
         else:
-            h = None  # [N, B, C]
+            piece = {}  # (d0, d1) -> accumulated f32 [rows, B, C1]
             for ri, p in enumerate(l0_params):
-                self_w_t = self_w_all[ri]  # [N, B]
+                lo, hi, d0, d1 = self._rel_ranges[ri]
                 c1 = xw0[ri].shape[-1]
                 feats_bc = jnp.broadcast_to(
-                    xw0[ri].astype(agg_dtype)[:, None, :], (n, b, c1)
-                ).reshape(n, b * c1)
-                agg = rel_spmm(ri, feats_bc, c1).reshape(n, b, c1)
-                contrib = agg + self_w_t[:, :, None] * xw0[ri][
-                    :, None, :
+                    xw0[ri, lo:hi].astype(agg_dtype)[:, None, :],
+                    (hi - lo, b, c1),
+                ).reshape(hi - lo, b * c1)
+                agg = rel_spmm(ri, feats_bc, c1).reshape(d1 - d0, b, c1)
+                contrib = agg + self_w_all[ri][d0:d1, :, None] * xw0[
+                    ri, d0:d1, None, :
                 ].astype(jnp.float32)
                 if "bias" in p:
-                    contrib = contrib + p["bias"] * scope[ri][:, None, None]
-                h = contrib if h is None else h + contrib
-            h = relu(h)
+                    contrib = contrib + p["bias"]
+                key = (d0, d1)
+                piece[key] = (
+                    contrib if key not in piece else piece[key] + contrib
+                )
+            h = assemble(
+                {k: relu(v) for k, v in piece.items()}, c1, jnp.float32
+            )
         # inter-layer activations live in the aggregation dtype (identity
         # on CPU/f32 engines): the layer-2 matmuls read them as bf16 MXU
         # operands anyway, and the f32 slab was the OOM margin at chunk 48
@@ -570,37 +645,48 @@ class FastBatchedHeteroGCN:
             return h.astype(jnp.float32).sum((0, 2))
 
         for li, layer in enumerate(self.model_def.conv_layers[1:], start=1):
-            out = None
+            piece = {}  # (d0, d1) -> accumulated f32 [rows, B, C]
             # serialize the per-relation aggregations: without the scalar
             # dependence XLA schedules all R SpMM custom-calls before any
-            # consumer, holding R f32 [N, B*C] outputs (+ layout copies)
-            # live at once — 2.3 GB each at chunk 48, the OOM margin
+            # consumer, holding R f32 [rows, B*C] outputs (+ layout
+            # copies) live at once — the chunk-48 OOM margin
             dep = jnp.zeros((), agg_dtype)
             for ri, (rel, conv) in enumerate(layer.items()):
                 p = self.params["conv"][li]["__".join(rel)]
+                lo, hi, d0, d1 = self._rel_ranges[ri]
                 # hw lands directly in the aggregation dtype (MXU output
-                # cast; accumulation stays f32 in-unit) — an f32
-                # intermediate + cast held 3 x 2.3 GB live at chunk 48
+                # cast; accumulation stays f32 in-unit) and is computed
+                # only on the relation's src∪dst row union
                 hw = jnp.einsum(
-                    "nbc,dc->nbd", h[..., : conv.in_features], p["weight"],
+                    "nbc,dc->nbd",
+                    h[lo:hi, :, : conv.in_features], p["weight"],
                     preferred_element_type=agg_dtype,
-                )  # [N, B, C] agg dtype
+                )  # [hi-lo, B, C] agg dtype
                 hw = hw + dep  # no-op value; orders relation ri after ri-1
                 dis_t = dis_t_all[ri]
                 f_dim = hw.shape[-1]
                 agg = rel_spmm(
-                    ri, hw.reshape(n, b * f_dim), f_dim
-                ).reshape(n, b, f_dim)
-                self_w_t = scope[ri][:, None] * dis_t * dis_t
-                contrib = agg + self_w_t[:, :, None] * hw
+                    ri, hw.reshape(hi - lo, b * f_dim), f_dim
+                ).reshape(d1 - d0, b, f_dim)
+                self_w_t = (
+                    scope[ri][d0:d1, None]
+                    * dis_t[d0:d1] * dis_t[d0:d1]
+                )  # [rows, B]
+                contrib = agg + self_w_t[:, :, None] * hw[d0 - lo : d1 - lo]
                 if "bias" in p:
-                    contrib = contrib + p["bias"] * scope[ri][:, None, None]
-                out = contrib if out is None else out + contrib
+                    contrib = contrib + p["bias"]
+                key = (d0, d1)
+                piece[key] = (
+                    contrib if key not in piece else piece[key] + contrib
+                )
                 # always-0 at runtime but not constant-foldable (a *0 dep
-                # gets folded away); reading the ACCUMULATED out means
+                # gets folded away); reading the ACCUMULATED piece means
                 # relation ri+1 starts only after ri's buffers are dead
-                dep = (out[0, 0, 0] > 1e30).astype(agg_dtype)
-            h = relu(out).astype(agg_dtype)
+                dep = (piece[key][0, 0, 0] > 1e30).astype(agg_dtype)
+            h = assemble(
+                {k: relu(v) for k, v in piece.items()},
+                piece[key].shape[-1], agg_dtype,
+            )
         return h
 
     @property

@@ -126,8 +126,8 @@ def weighted_gather_sum_batched(
 
 
 def gather_sum_batched_separable(
-    a_bn: jax.Array,            # [B, N] per-node per-sample factors
-    feats_bc: jax.Array,        # [N, B*F] batch-contiguous features
+    a_bn: jax.Array,            # [B, N_src] per-node per-sample factors
+    feats_bc: jax.Array,        # [N_src, B*F] batch-contiguous features
     senders: jax.Array,         # [E] (receiver-sorted for the XLA path)
     receivers: jax.Array,       # [E]
     num_nodes: int,
@@ -138,8 +138,17 @@ def gather_sum_batched_separable(
     indices_are_sorted: bool = True,
     plan=None,
     static_w=None,
-) -> jax.Array:                 # [N, B*F]
+    post_a_bn: Optional[jax.Array] = None,  # [B, N_out] dest-side factors
+    drop_self_loops: bool = True,
+) -> jax.Array:                 # [N_out, B*F]
     """Batched aggregation with rank-1 separable weights.
+
+    Type-scoped callers (hetero dst-block aggregation): feats/senders live
+    in a SOURCE row space and the output/receivers in a (smaller)
+    destination row space — pass the destination-side factors as
+    ``post_a_bn`` ([B, num_nodes], defaults to ``a_bn``) and, since local
+    source/receiver ids no longer encode self-loops, pre-filter them at
+    table build and pass ``drop_self_loops=False``.
 
     ``out[v, s] = a[s,v] * sum over non-self-loop in-edges (snd -> v) of
     a[s,snd] * feats[snd, s]`` — the GCN node-mask case, where the per-edge
@@ -158,7 +167,11 @@ def gather_sum_batched_separable(
     remote compiler caps the request body).
     """
     f = feats_bc.shape[-1] // b
-    a_t = jnp.transpose(a_bn).astype(feats_bc.dtype)  # [N, B]
+    a_t = jnp.transpose(a_bn).astype(feats_bc.dtype)  # [N_src, B]
+    a_out = (
+        a_t if post_a_bn is None
+        else jnp.transpose(post_a_bn).astype(feats_bc.dtype)
+    )  # [N_out, B]
     scaled = (
         feats_bc.reshape(-1, b, f) * a_t[:, :, None]
     ).reshape(-1, b * f)
@@ -167,12 +180,15 @@ def gather_sum_batched_separable(
         # block) instead of a full [N, W] HBM read+write after it
         return gather_sum_static(
             table, scaled, b=b, plan=plan, static_w=static_w,
-            post_scale=a_t.astype(jnp.float32),
+            post_scale=a_out.astype(jnp.float32),
         )
-    loop = (senders != receivers).astype(scaled.dtype)
-    msg = scaled[senders] * loop[:, None]
+    if drop_self_loops:
+        loop = (senders != receivers).astype(scaled.dtype)
+        msg = scaled[senders] * loop[:, None]
+    else:
+        msg = scaled[senders]
     out = jax.ops.segment_sum(
         msg.astype(jnp.float32), receivers, num_segments=num_nodes,
         indices_are_sorted=indices_are_sorted,
     )
-    return (out.reshape(-1, b, f) * a_t[:, :, None]).reshape(-1, b * f)
+    return (out.reshape(-1, b, f) * a_out[:, :, None]).reshape(-1, b * f)
