@@ -156,6 +156,7 @@ class FastBatchedHeteroGCN:
         jit boundary as runtime inputs rather than inline HLO literals.
         """
         is_graph = "graph" in problem
+        is_edge = "edge" in problem
         m_total = masks.shape[0]
         self._ell_setup()
         c = min(self._ell_chunk_eff, m_total)
@@ -167,11 +168,15 @@ class FastBatchedHeteroGCN:
         nchunks = masks.shape[0] // c
         if self._ell_jit is None:
 
-            def impl(masks, ops, query, is_graph, nchunks, c):
+            def impl(masks, ops, query, is_graph, is_edge, nchunks, c):
                 chunks = masks.reshape(nchunks, c, masks.shape[1])
 
                 def run(mc):
-                    h = self.batch_node_outputs_ell(mc, ops)  # [N, B, C]
+                    h = (
+                        self._ell_edge_h(mc, ops)
+                        if is_edge
+                        else self.batch_node_outputs_ell(mc, ops)
+                    )  # [N, B, C]
                     if is_graph:
                         out = self.model_def.head(self.params, h)
                         nv = ops["nvalid"]
@@ -184,12 +189,14 @@ class FastBatchedHeteroGCN:
 
             self._ell_jit = jax.jit(
                 impl,
-                static_argnames=("query", "is_graph", "nchunks", "c"),
+                static_argnames=(
+                    "query", "is_graph", "is_edge", "nchunks", "c"
+                ),
             )
         out = self._ell_jit(
             masks, self._ops(),
             query=None if is_graph else int(query),
-            is_graph=is_graph, nchunks=nchunks, c=c,
+            is_graph=is_graph, is_edge=is_edge, nchunks=nchunks, c=c,
         )
         return out[:m_total]
 
@@ -249,6 +256,7 @@ class FastBatchedHeteroGCN:
                 break
             type_ranges[t] = (int(idx[0]), int(idx[-1]) + 1)
         self._rel_ranges = []  # per relation: (lo, hi, d0, d1)
+        self._eids_sorted = []  # original edge ids in receiver-sorted order
         g0_bytes = 0
         raw_tables = []
         for ri, rel in enumerate(self.model_def.relations):
@@ -276,6 +284,7 @@ class FastBatchedHeteroGCN:
             )
             snds_s.append(on_device(col))
             rcvs_s.append(on_device(rcv[sel][pe] - d0))
+            self._eids_sorted.append(on_device(eids[sel][pe]))
             # slot eid -> position in the relation's receiver-sorted order
             # (the pallas weighted path gathers [E_r, B] weights by slot)
             inv = np.zeros(graph.e_pad, np.int32)
@@ -364,24 +373,34 @@ class FastBatchedHeteroGCN:
         self._nbr_all = None
         self._valid_all = None
         self._g0_all = None
+        self._eid_all = None
+        self._kblock_offsets = None
         if g0_bytes <= self._G0_BUDGET_BYTES and raw_tables:
             # scoped tables live in per-relation row spaces — embed each
             # back into full-N rows (zero/invalid outside its dst block)
             # and convert union-local sources to global (+lo) before the
-            # ri*n stacking offset
-            embeds, valids = [], []
+            # ri*n stacking offset.  eid_all (original edge id per slot)
+            # serves the edge-problem path's mask gather.
+            embeds, valids, eids_embed = [], [], []
+            koffs = [0]
             for ri, t in enumerate(raw_tables):
                 lo, hi, d0, d1 = self._rel_ranges[ri]
                 k_r = t.nbr.shape[1]
                 nf = np.zeros((n, k_r), np.int32)
                 vf = np.zeros((n, k_r), np.float32)
+                ef = np.zeros((n, k_r), np.int32)
                 nf[d0:d1] = np.asarray(t.nbr, np.int32) + lo + ri * n
                 vf[d0:d1] = np.asarray(t.valid)
+                ef[d0:d1] = np.asarray(t.eid, np.int32)
                 embeds.append(nf)
                 valids.append(vf)
+                eids_embed.append(ef)
+                koffs.append(koffs[-1] + k_r)
+            self._kblock_offsets = koffs
             nbr_all_np = np.concatenate(embeds, axis=1)
             self._nbr_all = on_device(nbr_all_np)
             self._valid_all = on_device(np.concatenate(valids, axis=1))
+            self._eid_all = on_device(np.concatenate(eids_embed, axis=1))
             xw0_flat = np.asarray(self.xw0).reshape(-1, self.xw0.shape[-1])
             # R trailing "self slots" per row: slot K_tot+r reads xw0_r[v]
             # and its coefficient is the self-loop weight scope_r*dis_r^2,
@@ -449,6 +468,8 @@ class FastBatchedHeteroGCN:
             "nbr_all": self._nbr_all,
             "valid_all": self._valid_all,
             "g0_all": self._g0_all,
+            "eid_all": self._eid_all,
+            "eids_sorted": tuple(self._eids_sorted),
             "deg_snds": self._deg_snds,
             "deg_rcvs": self._deg_rcvs,
             "plans": {
@@ -686,6 +707,176 @@ class FastBatchedHeteroGCN:
             h = assemble(
                 {k: relu(v) for k, v in piece.items()},
                 piece[key].shape[-1], agg_dtype,
+            )
+        return h
+
+    def _ell_edge_h(
+        self, masks: jax.Array, ops: Optional[dict] = None
+    ) -> Optional[jax.Array]:
+        """All-node outputs for every EDGE-mask row — ELL tier, [N, B, C].
+
+        The unrestricted big-hetero edge formulation (the last reference
+        configuration whose hetero Python loop,
+        ``/root/reference/src/pathway_explanations/model.py:196-249``, had
+        no fast TPU replacement — VERDICT r4 missing 2).  Per-edge masks
+        are NOT separable, so every layer aggregates through the v7w fused
+        weighted SpMM with per-slot per-sample weights
+        ``w[v,slot,b] = m_e * dis_r[v] * dis_r[src]`` — built ONCE per
+        chunk from the full-embedded eid table (weights are layer-
+        invariant) — while layer 1 reuses the node path's fused
+        [N,K_tot+R,B] x [N,K_tot+R,C1] einsum with these weights as the
+        coefficients (self slots carry scope*dis^2; edge perturbation
+        keeps unit self-loops, reference ``data.py:500-554``).  Returns
+        None when the layer-1 einsum layout is over budget.
+        """
+        from ..ops.spmm import weighted_gather_sum_batched
+        from ..ops.spmm_pallas import CompactPlan, _pick_tr
+
+        _tables, _snds, _rcvs, _tables_s = self._ell_setup()
+        if ops is None:
+            ops = self._ops()
+        if ops.get("nbr_all") is None:
+            return None
+        b = masks.shape[0]
+        n = self.graph.n_pad
+        nrel = len(ops["nbr"])
+        agg_dtype = self._agg_dtype
+        itemsize = jnp.dtype(agg_dtype).itemsize
+        scope = ops["scope"]
+        koffs = self._kblock_offsets
+        # the [N, K_tot] slot gather of mask bits is the path's dominant
+        # HBM cost (7.2M tiny rows at the bench workload) — gather int8
+        # rows (4x fewer bytes than f32) and widen after
+        m_te = jnp.transpose(masks.astype(jnp.int8))  # [E_pad, B] i8
+        w_raw = (
+            ops["valid_all"][:, :, None]
+            * m_te[ops["eid_all"]].astype(jnp.float32)
+        )  # [N, K_tot, B] f32 — masked slot indicators
+        dis_all = []
+        for ri in range(nrel):
+            cnt = w_raw[:, koffs[ri] : koffs[ri + 1], :].sum(1)  # [N, B]
+            deg = scope[ri][:, None] + cnt
+            dis_all.append(
+                jnp.where(
+                    deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-30)), 0.0
+                )
+            )
+        dis_stack = jnp.stack(dis_all).astype(agg_dtype)  # [R, N, B]
+        dis_flat = dis_stack.reshape(nrel * n, b)
+        dest = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    dis_stack[ri][:, None, :],
+                    (n, koffs[ri + 1] - koffs[ri], b),
+                )
+                for ri in range(nrel)
+            ],
+            axis=1,
+        )  # [N, K_tot, B]
+        coeff_nbr = (
+            w_raw.astype(agg_dtype) * dest * dis_flat[ops["nbr_all"]]
+        )  # [N, K_tot, B] — per-slot per-sample weights, all layers
+        self_w_all = jnp.stack(
+            [
+                scope[ri][:, None] * dis_all[ri] * dis_all[ri]
+                for ri in range(nrel)
+            ]
+        )  # [R, N, B]
+
+        layer0 = self.model_def.conv_layers[0]
+        l0_params = [
+            self.params["conv"][0]["__".join(rel)] for rel in layer0
+        ]
+        coeff = jnp.concatenate(
+            [coeff_nbr, jnp.moveaxis(self_w_all, 0, 1).astype(agg_dtype)],
+            axis=1,
+        )
+        h = jnp.einsum(
+            "nkb,nkc->nbc", coeff, ops["g0_all"].astype(agg_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if any("bias" in p for p in l0_params):
+            bias_nc = sum(
+                scope[ri][:, None] * p["bias"][None, :]
+                for ri, p in enumerate(l0_params)
+                if "bias" in p
+            )
+            h = h + bias_nc[:, None, :]
+        h = relu(h).astype(agg_dtype)
+
+        from ..ops.spmm import _use_pallas
+
+        for li, layer in enumerate(self.model_def.conv_layers[1:], start=1):
+            piece = {}
+            dep = jnp.zeros((), agg_dtype)
+            for ri, (rel, conv) in enumerate(layer.items()):
+                p = self.params["conv"][li]["__".join(rel)]
+                lo, hi, d0, d1 = self._rel_ranges[ri]
+                hw = jnp.einsum(
+                    "nbc,dc->nbd",
+                    h[lo:hi, :, : conv.in_features], p["weight"],
+                    preferred_element_type=agg_dtype,
+                )
+                hw = hw + dep
+                f_dim = hw.shape[-1]
+                feats_bc = hw.reshape(hi - lo, b * f_dim)
+                w_slot = coeff_nbr[
+                    d0:d1, koffs[ri] : koffs[ri + 1], :
+                ].astype(jnp.float32)  # [rows, K_r, B]
+                if _use_pallas(None, _tables_s[ri], b * f_dim):
+                    tr = _pick_tr(
+                        ops["nbr"][ri].shape[1], b * f_dim * itemsize
+                    )
+                    key = f"{ri}_{tr}"
+                    warmed = ops["plans"].get(key)
+                    plan = None
+                    if warmed is not None:
+                        plan = CompactPlan(
+                            src=warmed["src"], dst=warmed["dst"],
+                            cnt=warmed["cnt"], tr=tr,
+                            mode=self._ell_plans[key]["mode"],
+                        )
+                    agg = weighted_gather_sum_batched(
+                        None, feats_bc, ops["snds"][ri], ops["rcvs"][ri],
+                        d1 - d0, b, table=_tables_s[ri],
+                        w_slot=w_slot, plan=plan,
+                    ).reshape(d1 - d0, b, f_dim)
+                else:
+                    # XLA fallback: [E_r, B] receiver-sorted weights
+                    m_e = m_te[ops["eids_sorted"][ri]].astype(
+                        jnp.float32
+                    )  # [E_r, B]
+                    dis_r = dis_all[ri]
+                    norm_eb = (
+                        m_e
+                        * dis_r[lo:hi][ops["snds"][ri]]
+                        * dis_r[d0:d1][ops["rcvs"][ri]]
+                    )
+                    agg = weighted_gather_sum_batched(
+                        norm_eb, feats_bc, ops["snds"][ri],
+                        ops["rcvs"][ri], d1 - d0, b, backend="xla",
+                    ).reshape(d1 - d0, b, f_dim)
+                self_w_t = self_w_all[ri][d0:d1]
+                contrib = agg + self_w_t[:, :, None] * hw[d0 - lo : d1 - lo]
+                if "bias" in p:
+                    contrib = contrib + p["bias"]
+                key2 = (d0, d1)
+                piece[key2] = (
+                    contrib if key2 not in piece else piece[key2] + contrib
+                )
+                dep = (piece[key2][0, 0, 0] > 1e30).astype(agg_dtype)
+            segs, pos = [], 0
+            width = piece[key2].shape[-1]
+            for (d0, d1) in sorted(piece):
+                if d0 > pos:
+                    segs.append(jnp.zeros((d0 - pos, b, width), agg_dtype))
+                segs.append(relu(piece[(d0, d1)]).astype(agg_dtype))
+                pos = d1
+            if pos < n:
+                segs.append(jnp.zeros((n - pos, b, width), agg_dtype))
+            h = (
+                segs[0] if len(segs) == 1
+                else jnp.concatenate(segs, axis=0)
             )
         return h
 
@@ -1030,11 +1221,20 @@ class FastBatchedHeteroGCN:
                         lambda c: step(c, plan), chunks
                     ).reshape(m_total)
                 return step(masks, plan)
-        if is_edge:
-            # unrestricted hetero edge forwards have no dense formulation
-            # here — decline and let the adapter run the generic COO path
-            return None
         ell = self.graph.n_pad > self.DENSE_CAP
+        if is_edge:
+            # unrestricted hetero edge forwards: the ELL tier's v7w
+            # weighted path serves big graphs (VERDICT r4 missing 2); the
+            # dense tier has no edge formulation — decline to the
+            # adapter's generic COO path.  Requires the layer-1 einsum
+            # layout (nbr_all) and a concrete query node.
+            if not ell:
+                return None
+            self._ell_setup()
+            if self._nbr_all is None or (
+                not is_graph and not isinstance(query, (int, np.integer))
+            ):
+                return None
         if ell:
             from jax._src import core as _jcore
 
@@ -1046,7 +1246,11 @@ class FastBatchedHeteroGCN:
 
         def run_chunk(mchunk):
             if ell:
-                h = self.batch_node_outputs_ell(mchunk)  # [N, B, C]
+                h = (
+                    self._ell_edge_h(mchunk)
+                    if is_edge
+                    else self.batch_node_outputs_ell(mchunk)
+                )  # [N, B, C]
                 if is_graph:
                     out = self.model_def.head(self.params, h)
                     return (out[..., 0] * nvalid[:, None]).sum(

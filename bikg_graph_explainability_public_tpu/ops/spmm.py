@@ -101,6 +101,7 @@ def weighted_gather_sum_batched(
     backend: Optional[str] = None,
     indices_are_sorted: bool = True,
     w_slot=None,                # [N, K, B] pre-built slot-layout weights
+    plan=None,                  # caller-warmed CompactPlan (v7 weighted)
 ) -> jax.Array:                 # [N, B*F]
     """Batched aggregation: out[v] = sum_e w[e, :] * feats[snd_e] with the
     per-sample weight broadcast over each sample's F block.
@@ -114,7 +115,7 @@ def weighted_gather_sum_batched(
     """
     if _use_pallas(backend, table, feats_bc.shape[-1]):
         return batched_gather_sum(
-            table, edge_weight_eb, feats_bc, b=b, w_slot=w_slot
+            table, edge_weight_eb, feats_bc, b=b, w_slot=w_slot, plan=plan
         )
     f = feats_bc.shape[-1] // b
     msg = feats_bc[senders].reshape(-1, b, f) * edge_weight_eb[:, :, None]

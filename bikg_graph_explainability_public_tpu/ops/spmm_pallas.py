@@ -1519,6 +1519,16 @@ def batched_gather_sum(
         interpret = jax.default_backend() != "tpu"
     if w_slot is None:
         w_slot = edge_weight[table.eid] * table.valid[:, :, None]
+    if (
+        plan is not None and plan.mode == "v7" and w_slot.ndim == 3
+        and w_slot.shape[2] == b
+    ):
+        # caller-warmed v7 plan (big-graph jits pass plans as traced
+        # arguments): fused weighted reduce on it directly
+        return spmm_ell_pallas(
+            plan.src, plan.dst, plan.cnt, w_slot, feats,
+            k=table.k, tr=plan.tr, b=b, interpret=interpret, sched="v7",
+        )
     if plan is None and w_slot.shape[2] == b:
         # v7w: fused weighted reduce (the v3 weighted path ran issue,
         # reduce and waits as three serial regions) — 134 -> 2x+ GB/s at

