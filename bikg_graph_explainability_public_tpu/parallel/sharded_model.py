@@ -105,9 +105,11 @@ class ShardedModel(Model):
         problem: str,
         query: Optional[int],
         chunk_size: int = 128,
+        auto_chunk: bool = True,
     ) -> jax.Array:
         """Distributed masked forwards: one output per mask row, computed
-        over the halo partition."""
+        over the halo partition.  ``auto_chunk`` matches the base adapter's
+        signature; the halo path always honors ``chunk_size`` verbatim."""
         hetero_ok = _is_gcn_hetero(self.model_def)
         if not isinstance(self.model_def, GCNNodeModel) and not hetero_ok:
             if not self.allow_replicated_fallback:
